@@ -105,7 +105,7 @@ int main(int argc, char** argv) {
   std::printf("        decode ms   encode ms   decode mpps   encode mpps   "
               "size kb    rate\n");
   std::printf("oracle  %9.3f   %9.3f   %11.3f   %11.3f   %7zu   %4.1f%%\n",
-              dec_ms, enc_ms, mpx / (dec_ms / 1000.0) / 1e6 * 1e6 / 1e6,
+              dec_ms, enc_ms, mpx / (dec_ms / 1000.0),
               mpx / (enc_ms / 1000.0), enc.size() / 1024,
               100.0 * double(enc.size()) / (double(pixels.size()) + 14));
   std::printf("{\"encode_mpps\": %.3f, \"decode_mpps\": %.3f, "
