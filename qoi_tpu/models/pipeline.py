@@ -1,0 +1,138 @@
+"""Data-parallel QOI encoder: the flagship TPU pipeline (SURVEY.md §7.2).
+
+The reference encoder is a sequential per-pixel state machine with four
+loop carries (px_prev, run, index[64], write cursor — qoi.h:406-478). Here
+every carry is broken into a data-parallel or log-depth stage:
+
+  1. pixel prep       px_prev = shift(px);  eq mask          (parallel)
+  2. run segmentation cummax distance-to-last-literal        (log depth)
+  3. table replay     last-writer-wins overwrite scan        (ops/table.py)
+  4. classification   DIFF/LUMA/RGB/RGBA wraparound int8     (parallel)
+  5. offsets          exclusive prefix sum of chunk lengths  (log depth)
+  6. compaction       byte scatter / merge                   (ops/compact.py)
+
+Every stage is differentially tested against the scan anchor
+(models/scan_codec.py) and the C++ oracle. Output is byte-identical to the
+reference encoder for any input.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import format as fmt
+from ..ops import compact, scans, table
+from .scan_codec import classify_literal
+
+_SEED = jnp.array(fmt.SEED_PIXEL, dtype=jnp.uint8)
+
+
+class EncodedChunks(NamedTuple):
+    """Per-pixel chunk staging before compaction."""
+
+    staging: jnp.ndarray  # (N, 6) uint8: [run-flush byte?] + chunk bytes
+    lens: jnp.ndarray     # (N,) int32 emitted byte count (0 for run members)
+
+
+def encode_stage_chunks(px4: jnp.ndarray, n_valid=None) -> EncodedChunks:
+    """Stages 1-4: per-pixel chunk bytes + lengths, fully data-parallel.
+
+    px4: (N, 4) uint8 with alpha forced to 255 for 3-channel sources
+    (reference qoi.h:411-413). `n_valid` (traced scalar or None) supports
+    shape bucketing: positions >= n_valid are padding and emit nothing —
+    they are forced onto the run branch (eq) so they never write the table,
+    and their emission/flush points are masked off.
+    """
+    n = px4.shape[0]
+    io = jnp.arange(n, dtype=jnp.int32)
+    if n_valid is None:
+        valid = jnp.ones((n,), bool)
+        last_pos = n - 1
+    else:
+        valid = io < n_valid
+        last_pos = n_valid - 1
+
+    # -- stage 1: previous pixel (the px_prev carry is just a shift)
+    prev = jnp.concatenate([_SEED[None], px4[:-1]], axis=0)
+    eq = jnp.all(px4 == prev, axis=-1) | ~valid
+
+    # -- stage 2: run segmentation
+    runs = scans.run_segmentation(eq, last_pos=last_pos)
+    runs = runs._replace(emits_run=runs.emits_run & valid)
+
+    # -- stage 3: color-table replay (only literal pixels write: qoi.h:415-436)
+    keys = table.hash64(px4)
+    packed = table.pack_rgba(px4)
+    before, _ = table.table_replay(keys, packed, write=~eq)
+    hit = ~eq & (before == packed)
+
+    # -- stage 4: op classification
+    lit_bytes, lit_len = classify_literal(px4, prev)  # (N,5), (N,)
+    idx_byte = (fmt.OP_INDEX | keys).astype(jnp.uint8)
+    own = jnp.where(hit[:, None], 0, lit_bytes)
+    own = own.at[:, 0].set(jnp.where(hit, idx_byte, lit_bytes[:, 0]))
+    own_len = jnp.where(hit, 1, lit_len)
+
+    run_byte = (fmt.OP_RUN | (runs.run_val - 1)).astype(jnp.uint8)
+    flush_byte = (fmt.OP_RUN | (runs.flush_val - 1)).astype(jnp.uint8)
+
+    # byte 0: RUN for run members, flush byte when pending, else the chunk head
+    b0 = jnp.where(eq, run_byte, jnp.where(runs.flush, flush_byte, own[:, 0]))
+    # bytes 1..5: the chunk, shifted right one slot when a flush byte leads
+    shifted = jnp.where(runs.flush[:, None], own,
+                        jnp.concatenate([own[:, 1:], jnp.zeros((n, 1), jnp.uint8)], axis=1))
+    staging = jnp.concatenate([b0[:, None], shifted], axis=1)
+    staging = jnp.where(eq[:, None], jnp.concatenate(
+        [run_byte[:, None], jnp.zeros((n, 5), jnp.uint8)], axis=1), staging)
+
+    lens = jnp.where(
+        eq,
+        jnp.where(runs.emits_run, 1, 0),
+        own_len + runs.flush.astype(jnp.int32),
+    )
+    return EncodedChunks(staging, lens)
+
+
+@jax.jit
+def _encode_device(px4: jnp.ndarray, n_valid: jnp.ndarray):
+    chunks = encode_stage_chunks(px4, n_valid)
+    capacity = px4.shape[0] * 6
+    return compact.compact_bytes(chunks.staging, chunks.lens, capacity)
+
+
+def bucket_size(n: int, floor: int = 256) -> int:
+    """Round a pixel count up to the next power of two (>= floor), bounding
+    the number of distinct compiled shapes to O(log N_max)."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+def force_rgba(pixels: np.ndarray, desc: fmt.StreamDesc) -> np.ndarray:
+    """Flatten to (N, 4) uint8, forcing alpha=255 for 3-channel input."""
+    flat = np.asarray(pixels, dtype=np.uint8).reshape(-1, desc.channels)
+    if flat.shape[0] != desc.num_pixels:
+        raise ValueError(
+            f"pixel count {flat.shape[0]} != {desc.num_pixels} from descriptor")
+    if desc.channels == 3:
+        flat = np.concatenate(
+            [flat, np.full((flat.shape[0], 1), 255, np.uint8)], axis=1)
+    return flat
+
+
+def encode(pixels: np.ndarray, desc: fmt.StreamDesc) -> bytes:
+    """Encode one image through the parallel pipeline; byte-identical to the
+    reference encoder (qoi.h:356)."""
+    desc.validate()
+    px4 = force_rgba(pixels, desc)
+    n = px4.shape[0]
+    padded = np.zeros((bucket_size(n), 4), np.uint8)
+    padded[:n] = px4
+    buf, total = _encode_device(jnp.asarray(padded), jnp.int32(n))
+    body = np.asarray(jax.device_get(buf))[: int(jax.device_get(total))]
+    return fmt.pack_header(desc) + body.tobytes() + fmt.TRAILER

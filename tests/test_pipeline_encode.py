@@ -1,0 +1,75 @@
+"""Parallel encode pipeline vs oracle: must be byte-identical
+(SURVEY.md §7.4 step 4 differential strategy)."""
+import numpy as np
+import pytest
+
+from qoi_tpu import format as fmt
+from qoi_tpu import oracle
+from qoi_tpu.models import pipeline
+from qoi_tpu.ops import compact, scans
+from qoi_tpu.utils import testimages
+
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="no C++ toolchain")
+
+
+@pytest.mark.parametrize("ch", [3, 4])
+def test_encode_matches_oracle(ch):
+    for name, img in testimages.edge_case_suite(ch).items():
+        h, w = img.shape[:2]
+        desc = fmt.StreamDesc(w, h, ch)
+        expect = oracle.encode(img, desc)
+        got = pipeline.encode(img, desc)
+        assert got == expect, (
+            f"{name}: {len(got)} vs {len(expect)} bytes; "
+            f"first diff at {next((i for i, (a, b) in enumerate(zip(got, expect)) if a != b), -1)}"
+        )
+
+
+def test_encode_random_images():
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        w, h = int(rng.integers(1, 80)), int(rng.integers(1, 40))
+        ch = int(rng.choice([3, 4]))
+        style = int(rng.integers(0, 3))
+        if style == 0:
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        elif style == 1:
+            img = rng.integers(0, 3, size=(h, w, ch), dtype=np.uint8) * 90
+        else:
+            pal = rng.integers(0, 256, size=(4, ch), dtype=np.uint8)
+            img = pal[rng.integers(0, 4, size=(h, w))]
+        desc = fmt.StreamDesc(w, h, ch)
+        assert pipeline.encode(img, desc) == oracle.encode(img, desc)
+
+
+def test_run_segmentation_props():
+    # all-equal stream of 130: emission at 62, 124, and the final pixel (6)
+    eq = jnp.ones(130, bool)
+    runs = scans.run_segmentation(eq)
+    pts = np.flatnonzero(np.asarray(runs.emits_run))
+    assert list(pts) == [61, 123, 129]
+    vals = np.asarray(runs.run_val)[pts]
+    assert list(vals) == [62, 62, 6]
+    # no flushes since nothing is a literal
+    assert not np.asarray(runs.flush).any()
+
+
+def test_flush_after_run():
+    eq = jnp.array([False, True, True, False, False])
+    runs = scans.run_segmentation(eq)
+    assert list(np.asarray(runs.flush)) == [False, False, False, True, False]
+    assert np.asarray(runs.flush_val)[3] == 2
+
+
+def test_compact_merge_equals_scatter():
+    rng = np.random.default_rng(3)
+    n, k = 64, 6
+    staging = rng.integers(1, 256, size=(n, k), dtype=np.uint8)
+    lens = rng.integers(0, k + 1, size=(n,)).astype(np.int32)
+    cap = int(lens.sum()) + 8
+    a, ta = compact.compact_bytes(jnp.asarray(staging), jnp.asarray(lens), cap)
+    b, tb = compact.compact_bytes_merge(jnp.asarray(staging), jnp.asarray(lens))
+    assert int(ta) == int(tb) == lens.sum()
+    assert np.array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
