@@ -38,7 +38,15 @@ class EncodedChunks(NamedTuple):
     lens: jnp.ndarray     # (N,) int32 emitted byte count (0 for run members)
 
 
-def encode_stage_chunks(px4: jnp.ndarray, n_valid=None) -> EncodedChunks:
+def encode_stage_chunks(
+    px4: jnp.ndarray,
+    n_valid=None,
+    *,
+    prev_in=None,
+    run_in=None,
+    table_in=None,
+    contains_last=None,
+) -> EncodedChunks:
     """Stages 1-4: per-pixel chunk bytes + lengths, fully data-parallel.
 
     px4: (N, 4) uint8 with alpha forced to 255 for 3-channel sources
@@ -46,6 +54,14 @@ def encode_stage_chunks(px4: jnp.ndarray, n_valid=None) -> EncodedChunks:
     shape bucketing: positions >= n_valid are padding and emit nothing —
     they are forced onto the run branch (eq) so they never write the table,
     and their emission/flush points are masked off.
+
+    Tiled strict mode (SURVEY §7.2 stage 5) passes the incoming
+    cross-tile carry state:
+      prev_in:  (4,) uint8 boundary pixel (default: the seed pixel);
+      run_in:   traced int32 pending run length entering the tile;
+      table_in: (table (64,) uint32 packed, written (64,) bool);
+      contains_last: traced bool — whether this tile holds the stream's
+        final pixel (controls the end-of-stream run flush, qoi.h:417).
     """
     n = px4.shape[0]
     io = jnp.arange(n, dtype=jnp.int32)
@@ -55,19 +71,23 @@ def encode_stage_chunks(px4: jnp.ndarray, n_valid=None) -> EncodedChunks:
     else:
         valid = io < n_valid
         last_pos = n_valid - 1
+    if contains_last is not None:
+        last_pos = jnp.where(contains_last, last_pos, -1)
 
     # -- stage 1: previous pixel (the px_prev carry is just a shift)
-    prev = jnp.concatenate([_SEED[None], px4[:-1]], axis=0)
+    if prev_in is None:
+        prev_in = _SEED
+    prev = jnp.concatenate([prev_in[None].astype(jnp.uint8), px4[:-1]], axis=0)
     eq = jnp.all(px4 == prev, axis=-1) | ~valid
 
     # -- stage 2: run segmentation
-    runs = scans.run_segmentation(eq, last_pos=last_pos)
+    runs = scans.run_segmentation(eq, last_pos=last_pos, run_in=run_in)
     runs = runs._replace(emits_run=runs.emits_run & valid)
 
     # -- stage 3: color-table replay (only literal pixels write: qoi.h:415-436)
     keys = table.hash64(px4)
     packed = table.pack_rgba(px4)
-    before, _ = table.table_replay(keys, packed, write=~eq)
+    before, _ = table.table_replay(keys, packed, write=~eq, incoming=table_in)
     hit = ~eq & (before == packed)
 
     # -- stage 4: op classification

@@ -34,7 +34,8 @@ def compact_bytes(
     pos = jnp.where(valid, offs[:, None] + col, capacity)  # OOB -> dropped
     out = jnp.zeros((capacity,), jnp.uint8)
     out = out.at[pos.reshape(-1)].set(staging.reshape(-1), mode="drop")
-    return out, total.astype(jnp.int64)
+    # int32 is safe: the PIXELS_MAX guard caps worst-case streams below 2 GiB
+    return out, total.astype(jnp.int32)
 
 
 def _barrel_shift_right(x: jnp.ndarray, shift: jnp.ndarray, max_shift: int) -> jnp.ndarray:
@@ -86,5 +87,5 @@ def compact_bytes_merge(
         width = new_width
         del rows
 
-    total = cur_len[0].astype(jnp.int64)
+    total = cur_len[0].astype(jnp.int32)
     return data[0], total

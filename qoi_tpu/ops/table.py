@@ -1,19 +1,23 @@
-"""Color-index-table replay as an associative "last-writer-wins" scan.
+"""Color-index-table replay as a last-writer-wins cumulative max.
 
 The key insight (SURVEY.md §2.2 derived property): after any non-run pixel p
 the reference table satisfies index[hash(p)] == p, whether the op was a hit
-or a miss. So the table state before pixel i at slot s is simply the value of
+or a miss (store-on-miss, qoi.h:436; hit means the slot already held the
+value). So the table state before pixel i at slot s is simply the value of
 the *most recent preceding non-run pixel hashing to s* (or the zero entry) —
-independent of which ops the encoder chose. That makes the 64-slot table an
-overwrite monoid: per-block summaries compose associatively, exactly like
-blockwise context-parallel attention state (SURVEY.md §5.7).
+independent of which ops the encoder chose.
 
-Implementation: two vectorized in-block passes around one log-depth scan.
-  pass 1: in-block replay from a zero table  -> per-block summary tables
-  scan  : exclusive overwrite-scan over block summaries -> incoming tables
-  pass 2: in-block replay from the incoming table -> per-pixel lookups
-Both passes are a `lax.scan` over the block's *positions*, vectorized across
-all blocks — sequential depth B, parallel width N/B * 64 lanes.
+That reduces table replay to a pure "last writer per slot" query, computed
+TPU-natively as a cumulative max over writer positions:
+
+    W[i, s] = i+1  if pixel i writes slot s else 0      (one-hot over 64 lanes)
+    lastw   = exclusive cummax of W along i             (log depth, VPU)
+    before[i] = vals[lastw[i, keys[i]] - 1]             (one gather)
+
+Blocks of `block` positions are processed under a `lax.scan` carrying the
+64-slot writer-position vector, bounding live memory to O(block x 64) while
+keeping each step a dense vector op. The 64-slot carry is the same overwrite
+monoid exchanged across tiles/devices in strict mode (SURVEY §5.7).
 """
 from __future__ import annotations
 
@@ -41,32 +45,11 @@ def hash64(px4: jnp.ndarray) -> jnp.ndarray:
     return (px4.astype(jnp.int32) @ mult) & (_SLOTS - 1)
 
 
-def _replay_block(keys_t, vals_t, write_t, init_table, init_written):
-    """Vectorized in-block replay. *_t: (B, nb) position-major arrays;
-    init_*: (nb, 64). Returns (before_vals (B, nb), final_table, final_written).
-    """
-
-    def step(carry, inp):
-        table, written = carry  # (nb, 64) uint32 / bool
-        k, v, w = inp           # (nb,) each
-        onehot = k[:, None] == jnp.arange(_SLOTS, dtype=jnp.int32)[None, :]
-        before = jnp.sum(jnp.where(onehot, table, 0), axis=-1, dtype=jnp.uint32)
-        do = onehot & w[:, None]
-        table = jnp.where(do, v[:, None], table)
-        written = written | do
-        return (table, written), before
-
-    (table, written), before = jax.lax.scan(
-        step, (init_table, init_written), (keys_t, vals_t, write_t)
-    )
-    return before, table, written
-
-
 def table_replay(
     keys: jnp.ndarray,
     vals: jnp.ndarray,
     write: jnp.ndarray,
-    block: int = 256,
+    block: int = 1 << 17,
     incoming: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Per-position table lookups under last-writer-wins replay.
@@ -74,63 +57,56 @@ def table_replay(
     Args:
       keys: (N,) int32 slot per position (0..63).
       vals: (N,) uint32 packed pixel per position.
-      write: (N,) bool — whether this position writes its slot (non-run pixels
-        in the encoder; every chunk in the decoder).
-      block: in-block scan depth B (sequential depth of the two passes).
+      write: (N,) bool — whether this position writes its slot (non-run
+        pixels in the encoder; every chunk in the decoder).
+      block: positions per scan step; bounds live memory to block x 64 x 4 B.
       incoming: optional initial table state (table (64,) uint32,
-        written (64,) bool) — e.g. carried across tiles in strict mode.
+        written (64,) bool) — carried across tiles in strict mode.
 
     Returns:
       before: (N,) uint32 — table value at keys[i] just before position i
         (0 for never-written slots: the zero table).
-      (final_table, final_written): (64,) state after all positions, for
-        chaining across tiles via collectives (SURVEY §5.7/§7.2 stage 5).
+      (final_table, final_written): (64,) uint32 / bool state after all
+        positions, for chaining across tiles via collectives (SURVEY §5.7).
     """
     n = keys.shape[0]
+    block = min(block, max(n, 1))
     nb = -(-n // block)
     pad = nb * block - n
 
-    keys_p = jnp.pad(keys, (0, pad))
-    vals_p = jnp.pad(vals, (0, pad))
-    write_p = jnp.pad(write, (0, pad))  # pads are non-writing
+    keys_b = jnp.pad(keys, (0, pad)).reshape(nb, block)
+    write_b = jnp.pad(write, (0, pad)).reshape(nb, block)  # pads never write
+    pid_b = (jnp.arange(nb * block, dtype=jnp.int32) + 1).reshape(nb, block)
+    slots = jnp.arange(_SLOTS, dtype=jnp.int32)
 
-    # position-major (B, nb) so lax.scan slices one position per step
-    kt = keys_p.reshape(nb, block).T
-    vt = vals_p.reshape(nb, block).T
-    wt = write_p.reshape(nb, block).T
+    def body(carry, x):
+        k, w, pid = x  # (block,) each
+        onehot = w[:, None] & (k[:, None] == slots[None, :])
+        wpos = jnp.where(onehot, pid[:, None], 0)  # (block, 64) int32
+        cum = jax.lax.cummax(wpos, axis=0)
+        excl = jnp.concatenate([carry[None, :], cum[:-1]], axis=0)
+        eff = jnp.maximum(excl, carry[None, :])
+        idx = jnp.take_along_axis(eff, k[:, None], axis=1)[:, 0]
+        return jnp.maximum(carry, cum[-1]), idx
 
-    zero_t = jnp.zeros((nb, _SLOTS), jnp.uint32)
-    zero_w = jnp.zeros((nb, _SLOTS), bool)
-
-    # pass 1: local summaries from a zero table
-    _, local_table, local_written = _replay_block(kt, vt, wt, zero_t, zero_w)
-
-    # exclusive overwrite-scan across blocks (log depth)
-    def combine(a, b):  # a older, b newer
-        at, aw = a
-        bt, bw = b
-        return jnp.where(bw, bt, at), aw | bw
-
-    inc_table, inc_written = jax.lax.associative_scan(
-        combine, (local_table, local_written), axis=0
+    final_idx, idx_b = jax.lax.scan(
+        body, jnp.zeros((_SLOTS,), jnp.int32), (keys_b, write_b, pid_b)
     )
-    # shift to exclusive, seeding block 0 with `incoming` (or the zero table)
-    if incoming is None:
-        seed_t = jnp.zeros((1, _SLOTS), jnp.uint32)
-        seed_w = jnp.zeros((1, _SLOTS), bool)
-    else:
-        seed_t = incoming[0][None].astype(jnp.uint32)
-        seed_w = incoming[1][None]
-    inc_table = jnp.concatenate([seed_t, inc_table[:-1]], axis=0)
-    inc_written = jnp.concatenate([seed_w, inc_written[:-1]], axis=0)
+    idx = idx_b.reshape(-1)[:n]  # 0 = no writer yet; else writer position + 1
+
+    vals_ext = jnp.concatenate([jnp.zeros((1,), jnp.uint32), vals.astype(jnp.uint32)])
+    before = vals_ext[jnp.minimum(idx, n)]
+
+    final_table = vals_ext[jnp.minimum(final_idx, n)]
+    final_written = final_idx > 0
+
     if incoming is not None:
-        inc_table = jnp.where(inc_written, inc_table, seed_t)
-        inc_written = inc_written | seed_w
+        inc_t, inc_w = incoming
+        inc_t = inc_t.astype(jnp.uint32)
+        no_writer = idx == 0
+        before = jnp.where(no_writer & inc_w[keys], inc_t[keys], before)
+        final_table = jnp.where(final_written, final_table,
+                                jnp.where(inc_w, inc_t, 0))
+        final_written = final_written | inc_w
 
-    # pass 2: real replay from incoming state
-    before_t, fin_table, fin_written = _replay_block(
-        kt, vt, wt, jnp.where(inc_written, inc_table, 0), inc_written
-    )
-
-    before = before_t.T.reshape(-1)[:n]
-    return before, (fin_table[-1], fin_written[-1])
+    return before, (final_table, final_written)
