@@ -1,0 +1,72 @@
+"""Pointer-doubling resolution of additive copy-chains (decode stage).
+
+After tokenization (ops/fsm.py) and INDEX-target resolution (ops/table.py),
+every decoded chunk's pixel value is one of (SURVEY.md §7.3):
+
+    RGBA          -> all four channels anchored (exact bytes)
+    RGB           -> r,g,b anchored; alpha copied from the previous chunk
+    DIFF / LUMA   -> previous chunk's value + a known mod-256 delta (rgb)
+    RUN / INDEX   -> a copy of some earlier chunk's value
+
+i.e. value[i,c] = anchored[i,c] ? anchor[i,c]
+                                : value[parent[i,c], c] + delta[i,c]  (mod 256)
+
+a forest of additive chains. `resolve` computes every value in
+O(log chain-length) rounds of vectorized gathers (pointer jumping with an
+accumulated-delta monoid) — no sequential per-chunk scan.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def resolve(
+    parent: jnp.ndarray,
+    delta: jnp.ndarray,
+    anchored: jnp.ndarray,
+    anchor: jnp.ndarray,
+    root_val: jnp.ndarray,
+) -> jnp.ndarray:
+    """Resolve all chain values by pointer doubling.
+
+    Args:
+      parent:   (N, C) int32 — parent node per channel; -1 = virtual root.
+      delta:    (N, C) uint8 — mod-256 delta applied on top of the parent.
+      anchored: (N, C) bool — channel value known exactly at this node.
+      anchor:   (N, C) uint8 — the exact value where anchored.
+      root_val: (C,) uint8 — value of the virtual root node (the seed pixel).
+
+    Returns (N, C) uint8 resolved values.
+    """
+    n, c = parent.shape
+    # node n is the virtual root: done, value = root_val, self-parent
+    p = jnp.concatenate([jnp.where(parent < 0, n, parent),
+                         jnp.full((1, c), n, jnp.int32)])
+    acc = jnp.concatenate([delta, jnp.zeros((1, c), jnp.uint8)])
+    done = jnp.concatenate([anchored, jnp.ones((1, c), bool)])
+    val = jnp.concatenate([jnp.where(anchored, anchor, 0),
+                           root_val[None].astype(jnp.uint8)])
+
+    def body(state):
+        p, acc, val, done, _ = state
+        pdone = jnp.take_along_axis(done, p, axis=0)
+        pval = jnp.take_along_axis(val, p, axis=0)
+        pacc = jnp.take_along_axis(acc, p, axis=0)
+        pp = jnp.take_along_axis(p, p, axis=0)
+
+        hop = ~done & pdone       # parent resolved: finish here
+        jump = ~done & ~pdone     # both pending: double the pointer
+
+        val = jnp.where(hop, pval + acc, val)
+        done = done | pdone
+        acc = jnp.where(jump, acc + pacc, acc)
+        p = jnp.where(jump, pp, p)
+        return p, acc, val, done, jnp.all(done)
+
+    def cond(state):
+        return ~state[4]
+
+    state = (p, acc, val, done, jnp.all(done))
+    p, acc, val, done, _ = jax.lax.while_loop(cond, body, state)
+    return val[:n]

@@ -51,17 +51,22 @@ def table_replay(
     write: jnp.ndarray,
     block: int = 1 << 17,
     incoming: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    query_keys: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Per-position table lookups under last-writer-wins replay.
 
     Args:
-      keys: (N,) int32 slot per position (0..63).
+      keys: (N,) int32 slot per position (0..63) — the slot WRITTEN.
       vals: (N,) uint32 packed pixel per position.
       write: (N,) bool — whether this position writes its slot (non-run
         pixels in the encoder; every chunk in the decoder).
       block: positions per scan step; bounds live memory to block x 64 x 4 B.
       incoming: optional initial table state (table (64,) uint32,
         written (64,) bool) — carried across tiles in strict mode.
+      query_keys: optional (N,) int32 slot QUERIED by each position
+        (defaults to `keys`). The decode-side INDEX resolution reads slot
+        b1 while writing slot hash(px) (reference qoi.h:559 vs qoi.h:577);
+        they coincide only in canonical streams.
 
     Returns:
       before: (N,) uint32 — table value at keys[i] just before position i
@@ -74,23 +79,26 @@ def table_replay(
     nb = -(-n // block)
     pad = nb * block - n
 
+    if query_keys is None:
+        query_keys = keys
     keys_b = jnp.pad(keys, (0, pad)).reshape(nb, block)
+    qkeys_b = jnp.pad(query_keys, (0, pad)).reshape(nb, block)
     write_b = jnp.pad(write, (0, pad)).reshape(nb, block)  # pads never write
     pid_b = (jnp.arange(nb * block, dtype=jnp.int32) + 1).reshape(nb, block)
     slots = jnp.arange(_SLOTS, dtype=jnp.int32)
 
     def body(carry, x):
-        k, w, pid = x  # (block,) each
+        k, qk, w, pid = x  # (block,) each
         onehot = w[:, None] & (k[:, None] == slots[None, :])
         wpos = jnp.where(onehot, pid[:, None], 0)  # (block, 64) int32
         cum = jax.lax.cummax(wpos, axis=0)
         excl = jnp.concatenate([carry[None, :], cum[:-1]], axis=0)
         eff = jnp.maximum(excl, carry[None, :])
-        idx = jnp.take_along_axis(eff, k[:, None], axis=1)[:, 0]
+        idx = jnp.take_along_axis(eff, qk[:, None], axis=1)[:, 0]
         return jnp.maximum(carry, cum[-1]), idx
 
     final_idx, idx_b = jax.lax.scan(
-        body, jnp.zeros((_SLOTS,), jnp.int32), (keys_b, write_b, pid_b)
+        body, jnp.zeros((_SLOTS,), jnp.int32), (keys_b, qkeys_b, write_b, pid_b)
     )
     idx = idx_b.reshape(-1)[:n]  # 0 = no writer yet; else writer position + 1
 
@@ -104,7 +112,7 @@ def table_replay(
         inc_t, inc_w = incoming
         inc_t = inc_t.astype(jnp.uint32)
         no_writer = idx == 0
-        before = jnp.where(no_writer & inc_w[keys], inc_t[keys], before)
+        before = jnp.where(no_writer & inc_w[query_keys], inc_t[query_keys], before)
         final_table = jnp.where(final_written, final_table,
                                 jnp.where(inc_w, inc_t, 0))
         final_written = final_written | inc_w
