@@ -14,3 +14,23 @@ from .format import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+
+def encode(pixels, desc=None, engine: str = "tpu") -> bytes:
+    """Encode pixels ((h, w, 3|4) uint8, or flat with an explicit desc) to a
+    QOI stream, byte-identical to the reference encoder (qoi.h:356)."""
+    from . import io as _io
+
+    if desc is None:
+        desc = _io.image_desc(pixels)
+    enc, _ = _io._engine(engine)
+    return enc(pixels, desc)
+
+
+def decode(data: bytes, channels: int = 0, engine: str = "tpu"):
+    """Decode a QOI stream to ((h, w, ch) uint8, StreamDesc), pixel-identical
+    to the reference decoder (qoi.h:488)."""
+    from . import io as _io
+
+    _, dec = _io._engine(engine)
+    return dec(data, channels)
