@@ -69,13 +69,18 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - bench must still report
         log(f"oracle verification skipped: {e}")
 
-    # warmup (compile + first run discarded, like qoibench.c:362-376)
-    jax.block_until_ready(fn(x, n_valid))
-    t0 = time.perf_counter()
+    # warmup (compile + first run discarded, like qoibench.c:362-376).
+    # NOTE: every timed rep fetches a scalar output to the host — on this
+    # platform block_until_ready can return before execution finishes, so
+    # only a host fetch is a trustworthy sync point.
+    int(jax.device_get(fn(x, n_valid)[1]))
+    times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         buf, total = fn(x, n_valid)
-    jax.block_until_ready((buf, total))
-    dt = (time.perf_counter() - t0) / REPS
+        int(jax.device_get(total))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     mpxs = (n / 1e6) / dt
     log(f"encode 4K RGBA: {dt * 1e3:.2f} ms/frame, {mpxs:.1f} Mpx/s, "

@@ -1,0 +1,191 @@
+"""Streaming corpus jobs with checkpoint/resume (BASELINE config 5).
+
+Processes a directory of images (the qoi_benchmark_suite layout: PNGs,
+possibly nested) through encode / decode / roundtrip, aggregating the
+reference harness's grand-total metrics (qoibench.c:559-562). The corpus is
+sharded across hosts by file index (SURVEY §5.8: per-host local file I/O;
+counters are summed at the end — via `jax.distributed` allreduce when a
+multi-host runtime is initialized, else single-host).
+
+Checkpoint/resume (SURVEY §5.4): there is no model state — the resumable
+state is the work-queue cursor plus aggregate counters, written as JSON
+every `checkpoint_every` images. Restarting with the same arguments picks
+up where the job stopped.
+
+    python -m qoi_tpu.corpus <dir> --mode roundtrip \
+        --checkpoint /tmp/job.json --shard 0 --num-shards 4
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Counters:
+    images: int = 0
+    pixels: int = 0
+    raw_bytes: int = 0
+    qoi_bytes: int = 0
+    encode_ns: float = 0.0
+    decode_ns: float = 0.0
+    verify_failures: int = 0
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Counters":
+        return cls(**d)
+
+    def summary(self) -> dict:
+        enc_s = self.encode_ns / 1e9
+        dec_s = self.decode_ns / 1e9
+        return {
+            "images": self.images,
+            "mpixels": self.pixels / 1e6,
+            "encode_mpps": (self.pixels / 1e6) / enc_s if enc_s else 0.0,
+            "decode_mpps": (self.pixels / 1e6) / dec_s if dec_s else 0.0,
+            "rate": self.qoi_bytes / self.raw_bytes if self.raw_bytes else 0.0,
+            "verify_failures": self.verify_failures,
+        }
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    cursor: int
+    counters: Counters
+    shard: int
+    num_shards: int
+
+    def save(self, path) -> None:
+        tmp = pathlib.Path(str(path) + ".tmp")
+        tmp.write_text(json.dumps({
+            "cursor": self.cursor,
+            "counters": self.counters.to_json(),
+            "shard": self.shard,
+            "num_shards": self.num_shards,
+        }))
+        tmp.replace(path)
+
+    @classmethod
+    def load(cls, path) -> Optional["Checkpoint"]:
+        p = pathlib.Path(path)
+        if not p.exists():
+            return None
+        d = json.loads(p.read_text())
+        return cls(d["cursor"], Counters.from_json(d["counters"]),
+                   d["shard"], d["num_shards"])
+
+
+def shard_files(root: pathlib.Path, shard: int, num_shards: int) -> List[pathlib.Path]:
+    files = sorted(root.glob("**/*.png")) + sorted(root.glob("**/*.qoi"))
+    return files[shard::num_shards]
+
+
+def run_job(
+    root,
+    mode: str = "roundtrip",
+    checkpoint_path=None,
+    checkpoint_every: int = 50,
+    shard: int = 0,
+    num_shards: int = 1,
+    verify: bool = True,
+    progress=lambda msg: print(msg, file=sys.stderr),
+) -> Counters:
+    """Run (or resume) a corpus job over this shard's files."""
+    from . import format as fmt, io as qio
+    from .models import decode_pipeline, pipeline
+
+    files = shard_files(pathlib.Path(root), shard, num_shards)
+    ck = Checkpoint.load(checkpoint_path) if checkpoint_path else None
+    if ck is not None and (ck.shard, ck.num_shards) != (shard, num_shards):
+        raise ValueError(
+            f"checkpoint is for shard {ck.shard}/{ck.num_shards}, "
+            f"job is {shard}/{num_shards}")
+    cursor = ck.cursor if ck else 0
+    counters = ck.counters if ck else Counters()
+
+    for i in range(cursor, len(files)):
+        f = files[i]
+        if f.suffix == ".png":
+            pixels = qio.load_png(f)
+        else:
+            pixels, _ = qio.read(f)
+        h, w, ch = pixels.shape
+        desc = fmt.StreamDesc(w, h, ch)
+
+        t0 = time.perf_counter_ns()
+        stream = pipeline.encode(pixels, desc)
+        counters.encode_ns += time.perf_counter_ns() - t0
+
+        if mode in ("roundtrip", "decode"):
+            t0 = time.perf_counter_ns()
+            out, _ = decode_pipeline.decode(stream)
+            counters.decode_ns += time.perf_counter_ns() - t0
+            if verify and not np.array_equal(out, pixels):
+                counters.verify_failures += 1
+                progress(f"VERIFY FAILED: {f}")
+
+        counters.images += 1
+        counters.pixels += w * h
+        counters.raw_bytes += pixels.size
+        counters.qoi_bytes += len(stream)
+
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            Checkpoint(i + 1, counters, shard, num_shards).save(checkpoint_path)
+            progress(f"checkpoint @ {i + 1}/{len(files)}")
+
+    if checkpoint_path:
+        Checkpoint(len(files), counters, shard, num_shards).save(checkpoint_path)
+    return counters
+
+
+def allreduce_counters(counters: Counters) -> Counters:
+    """Sum counters across hosts when a jax.distributed runtime is up;
+    identity on a single host (SURVEY §5.8: one final psum of counters)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return counters
+    import jax.numpy as jnp
+
+    vec = jnp.asarray([
+        counters.images, counters.pixels, counters.raw_bytes,
+        counters.qoi_bytes, counters.encode_ns, counters.decode_ns,
+        counters.verify_failures,
+    ], jnp.float64)
+    summed = jax.experimental.multihost_utils.process_allgather(vec).sum(0)
+    vals = [int(v) for v in summed[:4]] + [float(summed[4]), float(summed[5]), int(summed[6])]
+    return Counters(*vals)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="qoi-tpu-corpus")
+    ap.add_argument("root")
+    ap.add_argument("--mode", choices=("encode", "decode", "roundtrip"),
+                    default="roundtrip")
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--checkpoint-every", type=int, default=50)
+    ap.add_argument("--shard", type=int, default=0)
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--noverify", action="store_true")
+    args = ap.parse_args(argv)
+
+    counters = run_job(
+        args.root, args.mode, args.checkpoint, args.checkpoint_every,
+        args.shard, args.num_shards, not args.noverify)
+    total = allreduce_counters(counters)
+    print(json.dumps(total.summary()))
+    return 1 if total.verify_failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
