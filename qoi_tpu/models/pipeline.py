@@ -31,11 +31,28 @@ from .scan_codec import classify_literal
 _SEED = jnp.array(fmt.SEED_PIXEL, dtype=jnp.uint8)
 
 
+class EncoderCarry(NamedTuple):
+    """The four loop carries of the reference encoder (qoi.h:406-478) at a
+    tile boundary, for chaining tiles sequentially (models/streamed.py) or
+    across devices (parallel/tiled.py)."""
+
+    prev_px: jnp.ndarray  # (4,) uint8 last pixel of the tile
+    run: jnp.ndarray      # int32 pending (unemitted) run length, 0..61
+    table: jnp.ndarray    # (64,) uint32 packed table values
+    written: jnp.ndarray  # (64,) bool slots ever written
+
+    @classmethod
+    def seed(cls) -> "EncoderCarry":
+        return cls(_SEED, jnp.int32(0),
+                   jnp.zeros((64,), jnp.uint32), jnp.zeros((64,), bool))
+
+
 class EncodedChunks(NamedTuple):
     """Per-pixel chunk staging before compaction."""
 
     staging: jnp.ndarray  # (N, 6) uint8: [run-flush byte?] + chunk bytes
     lens: jnp.ndarray     # (N,) int32 emitted byte count (0 for run members)
+    carry: EncoderCarry   # outgoing boundary state after the valid region
 
 
 def encode_stage_chunks(
@@ -87,7 +104,8 @@ def encode_stage_chunks(
     # -- stage 3: color-table replay (only literal pixels write: qoi.h:415-436)
     keys = table.hash64(px4)
     packed = table.pack_rgba(px4)
-    before, _ = table.table_replay(keys, packed, write=~eq, incoming=table_in)
+    before, (tbl_out, wr_out) = table.table_replay(
+        keys, packed, write=~eq, incoming=table_in)
     hit = ~eq & (before == packed)
 
     # -- stage 4: op classification
@@ -114,7 +132,22 @@ def encode_stage_chunks(
         jnp.where(runs.emits_run, 1, 0),
         own_len + runs.flush.astype(jnp.int32),
     )
-    return EncodedChunks(staging, lens)
+
+    # -- outgoing carry at the valid-region boundary (for tile chaining).
+    # Pads are forced eq, so last_noneq always lands inside the valid region.
+    last_noneq = scans.last_true_index(~eq)[..., -1]
+    n_val = last_pos + 1 if n_valid is None else n_valid
+    run_in_v = jnp.int32(0) if run_in is None else jnp.asarray(run_in, jnp.int32)
+    trail = jnp.where(last_noneq < 0,
+                      n_val + run_in_v,          # one run since the tile start
+                      (n_val - 1) - last_noneq)  # run began inside the tile
+    run_out = trail % fmt.RUN_CAP
+    if contains_last is not None:
+        run_out = jnp.where(contains_last, 0, run_out)
+    last_px = jnp.where(jnp.asarray(n_val) > 0,
+                        px4[jnp.maximum(jnp.asarray(n_val) - 1, 0)], prev_in)
+    carry = EncoderCarry(last_px, run_out, tbl_out, wr_out)
+    return EncodedChunks(staging, lens, carry)
 
 
 @jax.jit
