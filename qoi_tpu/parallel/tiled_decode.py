@@ -1,0 +1,345 @@
+"""Strict-mode tiled QOI decode: ONE stream, bytes sharded over "seq".
+
+The sequence-parallel counterpart of parallel/tiled.py for decode
+(SURVEY.md §7.3 "cross-tile decode"): each device owns a contiguous byte
+range of one stream and the four decoder carries cross shard boundaries as
+tiny summaries:
+
+  cursor    — FSM transition maps (5 int8 each), exclusively composed
+              across shards -> each shard's entry state marks its chunk
+              starts without scanning its neighbours' bytes
+  hash      — per-shard (reset?, add) affine maps mod 64, composed the
+              same way (+ last-RGBA alpha for the optimistic guess)
+  index[64] — last-writer summaries over GLOBAL chunk ids (the same
+              overwrite monoid as the encoder's)
+  px        — the value recurrence: each local chunk resolves by pointer
+              doubling to either a local anchor or one of 65 SYMBOLS
+              (incoming pixel, incoming table slot 0..63); per-shard
+              symbolic summaries compose in one tiny replicated scan, then
+              one local substitution pass finishes — the blockwise
+              recurrence-chunking pattern (SURVEY §5.7)
+
+All under one shard_map with a global hash fixpoint (psum-agreed), exactly
+mirroring the single-device pipeline's certificate: converged means the
+replay used the true hashes, so the output equals the reference decoder's.
+Non-convergence falls back to the single-device path on the host.
+
+Output is returned as per-shard chunk values + run lengths + global pixel
+offsets; run expansion happens host-side (np.repeat), which also handles
+the unbounded chunk->pixel fan-out (a 1-byte RUN covers up to 62 px).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import format as fmt
+from ..models import decode_pipeline as dp
+from ..ops import fsm, link, scans, table
+from . import sharding
+
+_SEED = jnp.array(fmt.SEED_PIXEL, dtype=jnp.uint8)
+_NSYM = 65  # symbol 0: incoming px; symbols 1..64: incoming table slot s-1
+_MAX_ITERS = 12
+
+
+def _compose_maps(maps):  # (S, 5) int8: exclusive prefix composition
+    def step(carry, m):  # carry: (5,) state map so far (applied first)
+        return jnp.take(m, carry, axis=0).astype(jnp.int8), carry
+
+    ident = jnp.arange(5, dtype=jnp.int8)
+    _, excl = jax.lax.scan(step, ident, maps)
+    return excl  # (S, 5): composition of maps[:k] for shard k
+
+
+def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
+    """data: (Mb,) local byte shard of the chunk stream (incl. trailer/pad
+    in the last shard). Returns per-shard chunk-level decode results."""
+    mb = data.shape[0]
+    s = jax.lax.axis_size(axis)
+    ax = jax.lax.axis_index(axis)
+    base_byte = ax * mb
+    io = jnp.arange(mb, dtype=jnp.int32)
+
+    # ---- stage 1: tokenize via FSM map composition -----------------------
+    lens_b = fsm.chunk_byte_len(data)
+    states = jnp.arange(5, dtype=jnp.int8)
+    trans = jnp.where(states[None, :] == 0,
+                      (lens_b[:, None] - 1).astype(jnp.int8),
+                      (states[None, :] - 1).astype(jnp.int8))
+
+    def compose(a, b):
+        c = jnp.zeros_like(a)
+        for k in range(5):
+            c = jnp.where(a == k, b[..., k : k + 1], c)
+        return c
+
+    incl = jax.lax.associative_scan(compose, trans, axis=0)  # (Mb, 5)
+    local_map = incl[-1]
+    entry_maps = jax.lax.all_gather(local_map, axis)         # (S, 5)
+    entry_state = _compose_maps(entry_maps)[ax][0]           # scalar int8
+    state_after = jnp.take(incl, entry_state.astype(jnp.int32), axis=1)
+    state_before = jnp.concatenate(
+        [entry_state[None].astype(jnp.int8), state_after[:-1]])
+    starts = (state_before == 0) & (base_byte + io < chunks_len)
+
+    # ---- stage 2: local chunk records (halo covers cross-shard chunks) ---
+    halo = jax.lax.ppermute(
+        data[:4], axis, [(i, i - 1) for i in range(1, s)])
+    data_ext = jnp.concatenate([data, halo])
+    cid = scans.exclusive_cumsum(starts.astype(jnp.int32))
+    slot = jnp.where(starts, cid, mb)
+    start_pos = jnp.full((mb,), mb - 1, jnp.int32).at[slot].set(io, mode="drop")
+    nloc = cid[-1] + starts[-1].astype(jnp.int32)
+    valid = io < nloc
+    f = dp._chunk_fields(data_ext, start_pos, valid)
+
+    nlocs = jax.lax.all_gather(nloc, axis)                   # (S,)
+    gid_base = jnp.sum(jnp.where(jnp.arange(s) < ax, nlocs, 0))
+
+    # global pixel offsets
+    npix_sum = jnp.sum(f["npix"])
+    npix_sums = jax.lax.all_gather(npix_sum, axis)
+    pix_base = jnp.sum(jnp.where(jnp.arange(s) < ax, npix_sums, 0))
+    pix_off = pix_base + scans.exclusive_cumsum(f["npix"])
+
+    # optimistic alpha: cross-shard last-RGBA carry
+    last_rgba_l = jax.lax.cummax(jnp.where(f["is_rgba"], io, -1))
+    alpha_fin = jnp.where(last_rgba_l[-1] >= 0,
+                          f["b5"][jnp.maximum(last_rgba_l[-1], 0)].astype(jnp.int32), -1)
+    alpha_fins = jax.lax.all_gather(alpha_fin, axis)         # (S,)
+
+    def astep(carry, x):
+        return jnp.where(x >= 0, x, carry), carry
+
+    _, alpha_entries = jax.lax.scan(astep, jnp.int32(255), alpha_fins)
+    alpha_entry = alpha_entries[ax]
+    prev_rgba = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_rgba_l[:-1]])
+    alpha_opt = jnp.where(
+        prev_rgba >= 0, f["b5"][jnp.maximum(prev_rgba, 0)].astype(jnp.int32),
+        alpha_entry)
+
+    # ---- stage 3: local affine hash maps + cross-shard composition -------
+    m3, m5, m7, m11 = fmt.HASH_MULTIPLIERS
+    i32 = lambda x: x.astype(jnp.int32)
+    reset_val = jnp.where(
+        f["is_rgba"],
+        (m3 * i32(f["b2"]) + m5 * i32(f["b3"]) + m7 * i32(f["b4"]) + m11 * i32(f["b5"])) & 63,
+        jnp.where(
+            f["is_rgb"],
+            (m3 * i32(f["b2"]) + m5 * i32(f["b3"]) + m7 * i32(f["b4"]) + m11 * alpha_opt) & 63,
+            f["b1"] & 63))
+    is_reset = (f["is_rgba"] | f["is_rgb"] | f["is_index"]) & valid
+    add_val = jnp.where(
+        valid,
+        (m3 * i32(f["dr"]) + m5 * i32(f["dg"]) + m7 * i32(f["db"])) & 63, 0)
+
+    def hcombine(a, b):
+        ra, va = a
+        rb, vb = b
+        return rb | ra, jnp.where(rb, vb, (va + vb) & 63)
+
+    r0 = is_reset.astype(jnp.int32)
+    v0 = jnp.where(is_reset, reset_val, add_val)
+    hr, hv = jax.lax.associative_scan(hcombine, (r0, v0))
+    shard_h = (hr[-1], hv[-1])
+    shard_hs = jax.lax.all_gather(shard_h, axis)             # ((S,), (S,))
+
+    def hstep(carry, x):  # carry: entry hash scalar
+        r, v = x
+        return jnp.where(r == 1, v, (carry + v) & 63), carry
+
+    _, h_entries = jax.lax.scan(hstep, jnp.int32(dp._SEED_HASH),
+                                (shard_hs[0], shard_hs[1]))
+    h_entry = h_entries[ax]
+    hashes0 = jnp.where(valid, jnp.where(hr == 1, hv, (h_entry + hv) & 63), 0)
+
+    # ---- stages 4-6 under the global hash fixpoint -----------------------
+    def resolve_given_hashes(hashes):
+        # local replay over global writer ids with cross-shard carry
+        qk = jnp.where(f["is_index"], f["b1"] & 63, hashes)
+        gids1 = (gid_base + io + 1).astype(jnp.uint32)
+        _, (loc_tbl, loc_wr) = table.table_replay(
+            hashes, gids1, write=valid)
+        tbls = jax.lax.all_gather(loc_tbl, axis)
+        wrs = jax.lax.all_gather(loc_wr, axis)
+
+        def tstep(c, x):
+            ct, cw = c
+            t, w = x
+            return (jnp.where(w, t, ct), cw | w), c
+
+        zero = (jnp.zeros((64,), jnp.uint32), jnp.zeros((64,), bool))
+        _, (inc_ts, inc_ws) = jax.lax.scan(tstep, zero, (tbls, wrs))
+        inc = (inc_ts[ax], inc_ws[ax])
+        target1, _ = table.table_replay(
+            hashes, gids1, write=valid, incoming=inc, query_keys=qk)
+        target = target1.astype(jnp.int32) - 1  # global chunk id, -1 = zero
+
+        # symbolic parents: local node, or symbol (extra node)
+        # extra nodes: 0 -> incoming px, 1+s -> incoming table slot s
+        tgt_local = target - gid_base
+        idx_sym = jnp.where(target < 0, -2, jnp.where(tgt_local >= 0, tgt_local, f["b1"] & 63))
+        # parent per chunk: INDEX -> target/symbol; else previous chunk
+        prev_loc = io - 1  # -1 -> symbol PX (extra node 0 = mb)
+        parent1 = jnp.where(
+            f["is_index"],
+            jnp.where(target < 0, 0,                # zero-entry: anchored
+                      jnp.where(tgt_local >= 0, tgt_local,
+                                mb + 1 + (f["b1"] & 63))),
+            jnp.where(prev_loc < 0, mb + 0, prev_loc))
+        zero_hit = f["is_index"] & (target < 0)
+
+        anchored_rgb = f["is_rgb"] | f["is_rgba"] | zero_hit | ~valid
+        anchored_a = f["is_rgba"] | zero_hit | ~valid
+        done0 = jnp.stack(
+            [anchored_rgb, anchored_rgb, anchored_rgb, anchored_a], axis=1)
+        u8 = lambda x: x.astype(jnp.uint8)
+        lit = f["is_rgb"] | f["is_rgba"]
+        anchor = jnp.stack([
+            jnp.where(lit, u8(f["b2"]), 0),
+            jnp.where(lit, u8(f["b3"]), 0),
+            jnp.where(lit, u8(f["b4"]), 0),
+            jnp.where(f["is_rgba"], u8(f["b5"]), 0),
+        ], axis=1)
+        delta = jnp.stack(
+            [f["dr"], f["dg"], f["db"], jnp.zeros((mb,), jnp.uint8)], axis=1)
+        parent = jnp.broadcast_to(parent1[:, None], (mb, 4)).astype(jnp.int32)
+
+        root, acc = link.resolve_roots(parent, delta, done0, _NSYM)
+        # root < mb: real anchored node -> value = anchor[root] + acc
+        # root >= mb: symbol -> resolved after the shard compose
+        real = root < mb
+        base_val = jnp.where(
+            real, jnp.take_along_axis(anchor, jnp.minimum(root, mb - 1), axis=0), 0)
+
+        # ---- per-shard symbolic summaries (65 entries x 4 channels) ------
+        # out px: dependence of last local chunk (or PX passthrough)
+        def dep_of(node):  # node: local chunk id; returns (root,acc,base)
+            r = root[node]
+            return r, acc[node], base_val[node]
+
+        has_chunks = nloc > 0
+        last_node = jnp.maximum(nloc - 1, 0)
+        px_root, px_acc, px_base_v = dep_of(last_node)
+        px_root = jnp.where(has_chunks, px_root, mb + 0)
+        px_acc = jnp.where(has_chunks, px_acc, 0)
+        px_base_v = jnp.where(has_chunks, px_base_v, 0)
+
+        # out table slot s: local final writer (loc_tbl/loc_wr) or passthrough
+        wr_node = jnp.clip(loc_tbl.astype(jnp.int32) - 1 - gid_base, 0, mb - 1)
+        t_root = jnp.where(loc_wr[:, None], root[wr_node], mb + 1 + jnp.arange(64)[:, None])
+        t_acc = jnp.where(loc_wr[:, None], acc[wr_node], 0)
+        t_base = jnp.where(loc_wr[:, None], base_val[wr_node], 0)
+
+        sum_root = jnp.concatenate([px_root[None], t_root])   # (65, 4)
+        sum_acc = jnp.concatenate([px_acc[None], t_acc])
+        sum_base = jnp.concatenate([px_base_v[None], t_base])
+        sum_real = sum_root < mb
+
+        roots_g = jax.lax.all_gather(sum_root, axis)          # (S, 65, 4)
+        accs_g = jax.lax.all_gather(sum_acc, axis)
+        bases_g = jax.lax.all_gather(sum_base, axis)
+        reals_g = jax.lax.all_gather(sum_real, axis)
+
+        # replicated sequential compose: numeric incoming symbols per shard
+        init = jnp.concatenate([
+            _SEED[None], jnp.zeros((64, 4), jnp.uint8)])      # (65, 4)
+
+        def cstep(carry, x):  # carry: numeric (65,4) uint8
+            r, a, b, re = x
+            sym = jnp.clip(r - mb, 0, _NSYM - 1)
+            out = jnp.where(re, b + a,
+                            jnp.take_along_axis(carry, sym, axis=0) + a)
+            return out, carry
+
+        _, numeric_ins = jax.lax.scan(cstep, init, (roots_g, accs_g, bases_g, reals_g))
+        numeric_in = numeric_ins[ax]                          # (65, 4)
+
+        sym_idx = jnp.clip(root - mb, 0, _NSYM - 1)
+        px_vals = jnp.where(
+            real, base_val + acc,
+            jnp.take_along_axis(numeric_in, sym_idx, axis=0) + acc)
+        return px_vals
+
+    def fix_body(state):
+        hashes, _, _, it = state
+        px = resolve_given_hashes(hashes)
+        true_h = jnp.where(valid, table.hash64(px), 0)
+        bad = jnp.sum((true_h != hashes).astype(jnp.int32))
+        bad = jax.lax.psum(bad, axis)
+        return true_h, px, bad == 0, it + 1
+
+    def fix_cond(state):
+        _, _, conv, it = state
+        return ~conv & (it < _MAX_ITERS)
+
+    px0 = jnp.zeros((mb, 4), jnp.uint8)
+    hashes, px, conv, _ = jax.lax.while_loop(
+        fix_cond, fix_body, (hashes0, px0, jnp.bool_(False), jnp.int32(0)))
+    px = resolve_given_hashes(hashes)
+
+    return px, f["npix"], pix_off, nloc[None], conv[None]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _decode_tiled_device(data, chunks_len, *, mesh: Mesh, axis: str):
+    fn = jax.shard_map(
+        functools.partial(_tile_step, axis=axis),
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return fn(data, chunks_len)
+
+
+def decode_tiled(data: bytes, mesh: Mesh, channels: int = 0,
+                 axis: str = sharding.SEQ_AXIS) -> Tuple[np.ndarray, fmt.StreamDesc]:
+    """Decode one stream with its bytes sharded over `axis` of `mesh`;
+    pixel-identical to the reference decoder (qoi.h:488). Falls back to the
+    single-device pipeline if the sharded fixpoint does not converge."""
+    if channels not in (0, 3, 4):
+        raise ValueError(f"channels must be 0, 3 or 4, got {channels}")
+    desc = fmt.unpack_header(data)
+    out_ch = channels if channels else desc.channels
+
+    body = np.frombuffer(data, np.uint8)[fmt.HEADER_SIZE:]
+    chunks_len = len(data) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
+    s = mesh.shape[axis]
+    mb = max(-(-len(body) // s), 8)
+    padded = np.zeros((s * mb,), np.uint8)
+    padded[: len(body)] = body
+
+    x = jax.device_put(jnp.asarray(padded), NamedSharding(mesh, P(axis)))
+    px, npix, pix_off, nlocs, conv = _decode_tiled_device(
+        x, jnp.int32(chunks_len), mesh=mesh, axis=axis)
+    if not bool(np.all(np.asarray(jax.device_get(conv)))):
+        return dp.decode(data, channels)
+
+    px = np.asarray(jax.device_get(px)).reshape(s, mb, 4)
+    npix = np.asarray(jax.device_get(npix)).reshape(s, mb)
+    nlocs = np.asarray(jax.device_get(nlocs)).reshape(s)
+
+    # host-side run expansion (np.repeat), truncation-tolerant fill
+    vals = []
+    for k in range(s):
+        nl = nlocs[k]
+        if nl:
+            vals.append(np.repeat(px[k, :nl], npix[k, :nl], axis=0))
+    n_px = desc.num_pixels
+    if vals:
+        flat = np.concatenate(vals)[:n_px]
+    else:
+        flat = np.zeros((0, 4), np.uint8)
+    if flat.shape[0] < n_px:  # truncated stream: fill with last px / seed
+        fill = flat[-1] if flat.shape[0] else np.array(fmt.SEED_PIXEL, np.uint8)
+        flat = np.concatenate(
+            [flat, np.broadcast_to(fill, (n_px - flat.shape[0], 4))])
+    img = flat[:, :out_ch].reshape(desc.height, desc.width, out_ch)
+    return img, desc
