@@ -1,0 +1,71 @@
+"""Pallas kernels vs the XLA reference stages (interpret mode on CPU —
+SURVEY §4: kernel-level tests in interpret mode vs jnp implementations)."""
+import numpy as np
+import pytest
+
+import qoi_tpu.format as fmt
+from qoi_tpu.models import pipeline
+from qoi_tpu.utils import testimages
+
+
+def _stage_ref(px4, n_valid):
+    import jax.numpy as jnp
+
+    chunks = pipeline.encode_stage_chunks(jnp.asarray(px4), jnp.int32(n_valid))
+    return np.asarray(chunks.staging), np.asarray(chunks.lens)
+
+
+def _stage_pallas(px4, n_valid, block=256):
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import encode_stage
+
+    stag, lens = encode_stage.encode_stage_pallas(
+        jnp.asarray(px4), n_valid, block=block, interpret=True)
+    return np.asarray(stag), np.asarray(lens)[:, 0]
+
+
+def _check(img, block=256):
+    h, w, ch = img.shape
+    desc = fmt.StreamDesc(w, h, ch)
+    px4 = pipeline.force_rgba(img, desc)
+    n = px4.shape[0]
+    cap = -(-n // block) * block
+    padded = np.zeros((cap, 4), np.uint8)
+    padded[:n] = px4
+
+    want_s, want_l = _stage_ref(padded, n)
+    got_s, got_l = _stage_pallas(padded, n, block)
+
+    np.testing.assert_array_equal(got_l, want_l)
+    # compare staged bytes only within each record's length (bytes beyond
+    # lens are ignored by compaction and differ by design)
+    col = np.arange(6)[None, :]
+    mask = col < want_l[:, None]
+    np.testing.assert_array_equal(
+        np.where(mask, got_s, 0), np.where(mask, want_s, 0))
+
+
+@pytest.mark.parametrize("name", ["gradient", "palette", "mixed", "flat_70px",
+                                  "noise_small", "runs_caps", "seed_run",
+                                  "wraparound", "alpha_toggle"])
+def test_fused_staging_edge_cases(name):
+    _check(testimages.edge_case_suite(4)[name])
+
+
+def test_fused_staging_rgb():
+    _check(testimages.mixed(64, 20, 3))
+
+
+def test_fused_staging_multiblock_runs():
+    """Runs crossing kernel block boundaries exercise the SMEM run carry."""
+    _check(testimages.flat(300, 4, 4), block=256)
+
+
+def test_fused_staging_table_carry():
+    """Palette repeats crossing blocks exercise the VMEM table carry."""
+    _check(testimages.palette(300, 4, 4, colors=9, seed=5), block=256)
+
+
+def test_fused_staging_padding_tail():
+    _check(testimages.noise(97, 5, 4, seed=8), block=256)
