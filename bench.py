@@ -13,10 +13,16 @@ Extra diagnostics go to stderr only.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: XLA compiles of the fused pipeline take minutes
+# on this platform; cache hits make reruns start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_ENCODE_MPXS = 163.0  # BASELINE.md measured, qoi.h:356 loop, 1 core -O3
 

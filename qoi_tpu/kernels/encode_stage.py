@@ -37,10 +37,13 @@ _HM = fmt.HASH_MULTIPLIERS
 
 
 def _shift_down(x, s, fill):
-    """x[i] <- x[i-s] along axis 0, first s rows <- fill. Static s."""
-    rolled = jnp.roll(x, s, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(row >= s, rolled, fill)
+    """x[i] <- x[i-s] along axis 0, first s rows <- fill. Static s.
+    Static slices + concatenate only (jnp.roll lowers to dynamic_slice,
+    which Mosaic does not support)."""
+    fill = jnp.broadcast_to(fill, x.shape)
+    if s >= x.shape[0]:
+        return fill
+    return jnp.concatenate([fill[:s], x[:-s]], axis=0)
 
 
 def _cummax_rows(x):
@@ -55,13 +58,14 @@ def _cummax_rows(x):
 
 def _overwrite_scan_rows(val, wr):
     """Inclusive last-writer-wins scan along axis 0: per column, the value
-    of the latest row with wr; (val, wr) -> scanned (val, wr)."""
+    of the latest row with wr != 0. Masks are int32 0/1 — boolean
+    concat/select at this shape crashes the Mosaic compiler."""
     n = val.shape[0]
     s = 1
     while s < n:
         up_v = _shift_down(val, s, jnp.zeros_like(val))
         up_w = _shift_down(wr, s, jnp.zeros_like(wr))
-        val = jnp.where(wr, val, up_v)
+        val = jnp.where(wr != 0, val, up_v)
         wr = wr | up_w
         s <<= 1
     return val, wr
@@ -90,9 +94,11 @@ def _kernel(nv_ref, last_ref, px_ref, stag_ref, len_ref,
     gid = base + row
     valid = gid < n_valid
 
-    carry_prev = jnp.array(
-        [prev_s[0, 0], prev_s[0, 1], prev_s[0, 2], prev_s[0, 3]],
-        jnp.int32)[None, :]
+    # traced scalars may only enter vectors via jnp.full on this Mosaic
+    # version (jnp.array-of-scalars / scalar-where broadcasts crash the
+    # remote compiler)
+    carry_prev = jnp.concatenate(
+        [jnp.full((1, 1), prev_s[0, c], jnp.int32) for c in range(4)], axis=1)
     prev = _shift_down(px, 1, jnp.broadcast_to(carry_prev, px.shape))
     eq = jnp.all(px == prev, axis=-1) | ~valid  # (B,)
 
@@ -104,7 +110,9 @@ def _kernel(nv_ref, last_ref, px_ref, stag_ref, len_ref,
     is_last = gid == last_pos
     emits_run = eq & ((run_pos % fmt.RUN_CAP == 0) | is_last) & valid
     run_val = (run_pos - 1) % fmt.RUN_CAP + 1
-    prev_eq = _shift_down(eq[:, None], 1, jnp.full((b, 1), run_in > 0))[:, 0]
+    prev_eq = _shift_down(eq.astype(jnp.int32)[:, None], 1,
+                          jnp.full((b, 1), (run_in > 0).astype(jnp.int32))
+                          )[:, 0] != 0
     prev_run_pos = _shift_down(run_pos[:, None], 1, jnp.full((b, 1), run_in))[:, 0]
     flush = (~eq) & prev_eq & (prev_run_pos % fmt.RUN_CAP != 0)
     flush_val = (prev_run_pos - 1) % fmt.RUN_CAP + 1
@@ -112,23 +120,22 @@ def _kernel(nv_ref, last_ref, px_ref, stag_ref, len_ref,
     # -- color-table replay (qoi.h:430-436), overwrite-doubling + carry
     key = (px[:, 0] * _HM[0] + px[:, 1] * _HM[1]
            + px[:, 2] * _HM[2] + px[:, 3] * _HM[3]) & (_SLOTS - 1)
-    packed = (px[:, 0] | px[:, 1] << 8 | px[:, 2] << 16 | px[:, 3] << 24
-              ).astype(jnp.uint32)
+    # packed pixel kept as int32: Mosaic lacks unsigned reductions
+    packed = px[:, 0] | px[:, 1] << 8 | px[:, 2] << 16 | px[:, 3] << 24
     slots = jax.lax.broadcasted_iota(jnp.int32, (b, _SLOTS), 1)
-    onehot = (key[:, None] == slots) & ~eq[:, None]  # write mask
-    wv = jnp.where(onehot, packed[:, None], jnp.uint32(0))
+    onehot = ((key[:, None] == slots) & ~eq[:, None]).astype(jnp.int32)
+    wv = jnp.where(onehot != 0, packed[:, None], 0)
     scan_v, scan_w = _overwrite_scan_rows(wv, onehot)
     # exclusive: shift down one row, then merge the incoming carry table
     ex_v = _shift_down(scan_v, 1, jnp.zeros_like(scan_v))
     ex_w = _shift_down(scan_w, 1, jnp.zeros_like(scan_w))
     carry_v = tblv_s[0][None, :]
-    carry_w = tblw_s[0][None, :] != 0
-    eff_v = jnp.where(ex_w, ex_v, jnp.broadcast_to(carry_v, ex_v.shape))
-    eff_w = ex_w | carry_w
+    carry_w = tblw_s[0][None, :]
+    eff_v = jnp.where(ex_w != 0, ex_v, jnp.broadcast_to(carry_v, ex_v.shape))
+    eff_w = (ex_w != 0) | (jnp.broadcast_to(carry_w, ex_w.shape) != 0)
     sel = key[:, None] == slots
-    before = jnp.sum(jnp.where(sel & eff_w, eff_v, jnp.uint32(0)), axis=1,
-                     dtype=jnp.uint32)
-    has_entry = jnp.sum(jnp.where(sel, eff_w, False), axis=1) > 0
+    before = jnp.sum(jnp.where(sel & eff_w, eff_v, 0), axis=1)
+    has_entry = jnp.sum(jnp.where(sel & eff_w, 1, 0), axis=1) > 0
     # zero table entries decode as packed 0 == pixel (0,0,0,0)
     hit = ~eq & jnp.where(has_entry, before == packed, packed == 0)
 
@@ -194,9 +201,11 @@ def _kernel(nv_ref, last_ref, px_ref, stag_ref, len_ref,
     trail = jnp.where(ln_last < 0, nv_loc + run_in, (nv_loc - 1) - ln_last)
     run_s[0] = jnp.where(last_pos < base + nv_loc, 0,
                          trail % fmt.RUN_CAP).astype(jnp.int32)
-    new_v, new_w = scan_v[-1], scan_w[-1]
-    tblv_s[0, :] = jnp.where(new_w, new_v, carry_v[0])
-    tblw_s[0, :] = (new_w | carry_w[0]).astype(jnp.int32)
+    # static-slice the last row (bare x[-1] lowers to dynamic_slice here)
+    new_v = scan_v[b - 1 : b].reshape(-1)
+    new_w = scan_w[b - 1 : b].reshape(-1)
+    tblv_s[0, :] = jnp.where(new_w != 0, new_v, carry_v[0])
+    tblw_s[0, :] = new_w | carry_w[0]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -229,7 +238,7 @@ def encode_stage_pallas(px4: jnp.ndarray, n_valid, last_pos=None,
             scratch_shapes=[
                 pltpu.SMEM((1, 4), jnp.int32),   # prev pixel carry
                 pltpu.SMEM((1,), jnp.int32),     # pending-run carry
-                pltpu.VMEM((1, _SLOTS), jnp.uint32),  # table values
+                pltpu.VMEM((1, _SLOTS), jnp.int32),   # table values
                 pltpu.VMEM((1, _SLOTS), jnp.int32),   # table written
             ],
         ),

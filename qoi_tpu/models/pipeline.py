@@ -104,9 +104,9 @@ def encode_stage_chunks(
     # -- stage 3: color-table replay (only literal pixels write: qoi.h:415-436)
     keys = table.hash64(px4)
     packed = table.pack_rgba(px4)
-    before, (tbl_out, wr_out) = table.table_replay(
+    hit0, (tbl_out, wr_out) = table.table_hit(
         keys, packed, write=~eq, incoming=table_in)
-    hit = ~eq & (before == packed)
+    hit = ~eq & hit0
 
     # -- stage 4: op classification
     lit_bytes, lit_len = classify_literal(px4, prev)  # (N,5), (N,)

@@ -61,6 +61,62 @@ def compact_bytes_scatter(
     return out, total.astype(jnp.int32)
 
 
+def compact_bytes_hybrid(
+    staging: jnp.ndarray, lens: jnp.ndarray, capacity: int,
+    width_stop: int = 3072,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge-doubling to `width_stop`-byte records, then ONE windowed
+    scatter-add assembly.
+
+    The add is order-safe: after merging, record r's valid bytes occupy
+    [off_r, off_r + len_r) and its padded tail is zero, so overlapping
+    windows only ever add zeros onto real bytes. The scatter writes whole
+    rows (update_window_dims), not elements — the shape XLA lowers
+    efficiently on TPU, unlike byte-granular scatters.
+    """
+    n, k = staging.shape
+    col = jnp.arange(k, dtype=jnp.int32)[None, :]
+    data = jnp.where(col < lens[:, None], staging, 0)
+    cur = lens.astype(jnp.int32)
+    width = k
+
+    while width < width_stop and data.shape[0] > 1:
+        rows = data.shape[0]
+        half = rows // 2
+        first = data[0 : 2 * half : 2]
+        second = data[1 : 2 * half : 2]
+        len1 = cur[0 : 2 * half : 2]
+        len2 = cur[1 : 2 * half : 2]
+        new_width = width * 2
+        first = jnp.pad(first, ((0, 0), (0, new_width - width)))
+        second = jnp.pad(second, ((0, 0), (0, new_width - width)))
+        second = _barrel_shift_right(second, len1, max_shift=width)
+        merged = first | second
+        merged_len = len1 + len2
+        if rows % 2:
+            tail = jnp.pad(data[-1:], ((0, 0), (0, new_width - width)))
+            merged = jnp.concatenate([merged, tail], axis=0)
+            merged_len = jnp.concatenate([merged_len, cur[-1:]])
+        data = merged
+        cur = merged_len
+        width = new_width
+
+    offs = exclusive_cumsum(cur)
+    total = (offs[-1] + cur[-1]).astype(jnp.int32)
+    out = jnp.zeros((capacity + width,), jnp.uint8)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    out = jax.lax.scatter_add(
+        out, offs[:, None], data, dnums,
+        indices_are_sorted=True, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return out[:capacity], total
+
+
 def _barrel_shift_right(x: jnp.ndarray, shift: jnp.ndarray, max_shift: int) -> jnp.ndarray:
     """Per-row right-shift of byte rows by a dynamic amount, as a composition
     of static rolls selected by the bits of `shift`. x: (R, W) uint8;
@@ -83,11 +139,15 @@ def compact_bytes_merge(
     """Scatter-free compaction by log-depth pairwise record merging.
 
     staging: (N, K) uint8 where row i holds lens[i] valid leading bytes.
-    N must be a power of two (pad with zero-length rows). Returns
-    (flat (N*K,) uint8, total int64).
+    Any N; odd row counts carry their last row down unpaired. Returns
+    (flat (final_width,) uint8 with the stream in [0, total), total int32).
+
+    Every level is dense VPU work: pairs of records concatenate via a
+    barrel shift (static rolls selected by the left length's bits), so no
+    gathers or scatters ever touch HBM — the TPU-native alternative to the
+    sort/scatter paths, ~constant bytes per level x log2(N) levels.
     """
     n, k = staging.shape
-    assert n & (n - 1) == 0, "pad record count to a power of two"
     # zero the invalid tail of every record so OR-merging is clean
     col = jnp.arange(k, dtype=jnp.int32)[None, :]
     data = jnp.where(col < lens[:, None], staging, 0)
@@ -96,19 +156,25 @@ def compact_bytes_merge(
 
     while data.shape[0] > 1:
         rows = data.shape[0]
-        first = data[0::2]
-        second = data[1::2]
-        len1 = cur_len[0::2]
-        len2 = cur_len[1::2]
+        half = rows // 2
+        first = data[0 : 2 * half : 2]
+        second = data[1 : 2 * half : 2]
+        len1 = cur_len[0 : 2 * half : 2]
+        len2 = cur_len[1 : 2 * half : 2]
         new_width = width * 2
         first = jnp.pad(first, ((0, 0), (0, new_width - width)))
         second = jnp.pad(second, ((0, 0), (0, new_width - width)))
         second = _barrel_shift_right(second, len1, max_shift=width)
         # valid regions are disjoint: [0,len1) and [len1,len1+len2)
-        data = first | second
-        cur_len = len1 + len2
+        merged = first | second
+        merged_len = len1 + len2
+        if rows % 2:  # odd: the last row rides along unpaired
+            tail = jnp.pad(data[-1:], ((0, 0), (0, new_width - width)))
+            merged = jnp.concatenate([merged, tail], axis=0)
+            merged_len = jnp.concatenate([merged_len, cur_len[-1:]])
+        data = merged
+        cur_len = merged_len
         width = new_width
-        del rows
 
     total = cur_len[0].astype(jnp.int32)
     return data[0], total

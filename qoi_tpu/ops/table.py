@@ -46,6 +46,105 @@ def hash64(px4: jnp.ndarray) -> jnp.ndarray:
     return (px4.astype(jnp.int32) @ mult) & (_SLOTS - 1)
 
 
+def table_hit(
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    write: jnp.ndarray,
+    block: int = _BLOCK,
+    incoming: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Encoder-specialized table replay: INDEX-hit detection with ZERO
+    gathers/scatters (TPU gathers cost ~10 ms per million elements on v5e
+    via XLA; this formulation measures as pure per-program overhead).
+
+    hit[i] == (table value at keys[i] just before i) == vals[i], under the
+    same last-writer-wins semantics as `table_replay`. Machinery:
+
+      in-block   : brute-force (nb, B, B) masks — last same-key writer and
+                   last same-key-same-value writer coincide <=> hit;
+      summaries  : per-block last writer per slot, with the writer's value
+                   extracted by a position-in-high-bits max (no gather);
+      cross-block: overwrite-monoid `associative_scan` over (nb, 64)
+                   value/written planes (incoming state rides as a
+                   virtual first block);
+      selection  : per-position carry lookup as an exact one-hot f32
+                   matmul — 16-bit value planes keep every integer exact.
+
+    Returns (hit (N,) bool, (final_table (64,) uint32, final_written)).
+    """
+    n = keys.shape[0]
+    b = block
+    nb = -(-n // b)
+    pad = nb * b - n
+
+    k_b = jnp.pad(keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
+    w_b = jnp.pad(write, (0, pad)).reshape(nb, b)
+    v_b = jnp.pad(vals.astype(jnp.uint32), (0, pad)).reshape(nb, b)
+    v_hi = (v_b >> 16).astype(jnp.int32)
+    v_lo = (v_b & 0xFFFF).astype(jnp.int32)
+
+    # -- in-block: last same-key writer vs last same-(key,value) writer
+    ii = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 2)
+    mask = (k_b[:, :, None] == k_b[:, None, :]) & (ii > jj) & w_b[:, None, :]
+    wrl = jnp.max(jnp.where(mask, jj, jnp.int8(-1)), axis=2)  # (nb, b)
+    vmask = mask & (v_b[:, :, None] == v_b[:, None, :])
+    svl = jnp.max(jnp.where(vmask, jj, jnp.int8(-1)), axis=2)
+    hit_in = (wrl >= 0) & (svl == wrl)
+
+    # -- per-block summaries: last writer per slot + its value planes
+    slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
+    smask = (k_b[:, None, :] == slots8[None, :, None]) & w_b[:, None, :]
+    sj32 = jax.lax.broadcasted_iota(jnp.int32, (nb, _SLOTS, b), 2)
+    # position in bits 16.. selects the LAST writer; value rides in bits 0..15
+    comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
+    comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
+    s_written = comb_hi >= 0
+    s_hi = comb_hi & 0xFFFF
+    s_lo = comb_lo & 0xFFFF
+
+    # -- cross-block overwrite scan (incoming state as a virtual block 0)
+    if incoming is None:
+        inc_t = jnp.zeros((_SLOTS,), jnp.uint32)
+        inc_w = jnp.zeros((_SLOTS,), bool)
+    else:
+        inc_t = incoming[0].astype(jnp.uint32)
+        inc_w = incoming[1]
+    ext_w = jnp.concatenate([inc_w[None], s_written])
+    ext_hi = jnp.concatenate([(inc_t >> 16).astype(jnp.int32)[None], s_hi])
+    ext_lo = jnp.concatenate([(inc_t & 0xFFFF).astype(jnp.int32)[None], s_lo])
+
+    def combine(a, bb):
+        aw, ah, al = a
+        bw, bh, bl = bb
+        return (aw | bw, jnp.where(bw, bh, ah), jnp.where(bw, bl, al))
+
+    sc_w, sc_hi, sc_lo = jax.lax.associative_scan(
+        combine, (ext_w, ext_hi, ext_lo), axis=0)
+    # state BEFORE block i = scanned[i] (scanned[0] == incoming)
+    c_w, c_hi, c_lo = sc_w[:-1], sc_hi[:-1], sc_lo[:-1]
+
+    # -- exact one-hot matmul select per position (planes < 2^17 in f32)
+    onehot = (k_b[:, :, None] == slots8[None, None, :]).astype(jnp.float32)
+    plane1 = (c_w.astype(jnp.int32) * 65536 + c_hi).astype(jnp.float32)
+    plane2 = c_lo.astype(jnp.float32)
+    sel1 = jnp.einsum("nbs,ns->nb", onehot, plane1,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    sel2 = jnp.einsum("nbs,ns->nb", onehot, plane2,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    carry_written = sel1 >= 65536
+    carry_val = ((sel1 & 0xFFFF).astype(jnp.uint32) << 16) | sel2.astype(jnp.uint32)
+
+    hit_carry = jnp.where(carry_written, carry_val == v_b, v_b == 0)
+    hit = jnp.where(wrl >= 0, hit_in, hit_carry).reshape(-1)[:n]
+
+    final_written = sc_w[-1]
+    final_table = jnp.where(
+        final_written,
+        (sc_hi[-1].astype(jnp.uint32) << 16) | sc_lo[-1].astype(jnp.uint32), 0)
+    return hit, (final_table, final_written)
+
+
 def table_replay(
     keys: jnp.ndarray,
     vals: jnp.ndarray,
