@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Headline benchmark: single-chip QOI encode throughput, 4K RGBA.
+"""Headline benchmark: single-chip QOI encode throughput, batched 4K RGBA.
 
 Mirrors the reference benchmark's metric (Mpixels/s, qoibench.c:340-357)
-on BASELINE.json config 2 (single 4K RGBA image). The baseline denominator
-is the measured single-core throughput of the reference encoder on this
-machine (BASELINE.md: 163 Mpx/s).
+on BASELINE.json configs 2/3: 4K RGBA frames, a small batch per program
+call (the deployment shape — this platform has ~40 ms fixed per-program
+overhead, so sustained throughput is the honest number). The baseline
+denominator is the measured single-core throughput of the reference
+encoder on this machine (BASELINE.md: 163 Mpx/s).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpx/s", "vs_baseline": N}
@@ -27,7 +29,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_ENCODE_MPXS = 163.0  # BASELINE.md measured, qoi.h:356 loop, 1 core -O3
 
 W, H = 3840, 2160
-REPS = 20
+BATCH = 4
+REPS = 10
 
 
 def log(msg: str) -> None:
@@ -40,60 +43,68 @@ def main() -> None:
 
     from qoi_tpu import format as fmt
     from qoi_tpu.models import pipeline
+    from qoi_tpu.ops import compact
     from qoi_tpu.utils import testimages
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
 
     desc = fmt.StreamDesc(W, H, 4)
-    img = testimages.mixed(W, H, 4)
-    px4 = pipeline.force_rgba(img, desc)
-    n = px4.shape[0]
+    n = desc.num_pixels
+    cap = -(-n // 1024) * 1024
 
-    x = jax.device_put(jnp.asarray(px4))
-    n_valid = jnp.int32(n)
+    frames = [testimages.mixed(W, H, 4, seed=3 + i) for i in range(BATCH)]
+    batch = np.zeros((BATCH, cap, 4), np.uint8)
+    for i, f in enumerate(frames):
+        batch[i, :n] = pipeline.force_rgba(f, desc)
 
-    fn = pipeline._encode_device  # already jitted
+    x = jax.device_put(jnp.asarray(batch))
 
-    # correctness gate: the timed path must produce a valid stream
-    buf, total = fn(x, n_valid)
-    total_host = int(jax.device_get(total))
-    stream = (
+    @jax.jit
+    def encode_batch(pb):
+        def one(p):
+            ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+            return compact.compact_bytes(ch.staging, ch.lens, cap * 6)
+
+        return jax.vmap(one)(pb)
+
+    # correctness gate: frame 0's stream must match the oracle byte-for-byte
+    t0 = time.perf_counter()
+    bufs, totals = encode_batch(x)
+    totals_host = np.asarray(jax.device_get(totals))
+    log(f"compile+first run: {time.perf_counter() - t0:.0f}s")
+    stream0 = (
         fmt.pack_header(desc)
-        + np.asarray(jax.device_get(buf))[:total_host].tobytes()
+        + np.asarray(jax.device_get(bufs[0]))[: totals_host[0]].tobytes()
         + fmt.TRAILER
     )
     try:
         from qoi_tpu import oracle
 
         if oracle.available():
-            ref = oracle.encode(img, desc)
-            if ref != stream:
+            if oracle.encode(frames[0], desc) != stream0:
                 log("WARNING: benchmark stream mismatches oracle encode")
             else:
                 log("verified: byte-identical to oracle encode")
     except Exception as e:  # pragma: no cover - bench must still report
         log(f"oracle verification skipped: {e}")
 
-    # warmup (compile + first run discarded, like qoibench.c:362-376).
-    # NOTE: every timed rep fetches a scalar output to the host — on this
-    # platform block_until_ready can return before execution finishes, so
-    # only a host fetch is a trustworthy sync point.
-    int(jax.device_get(fn(x, n_valid)[1]))
+    # timed reps: every rep host-fetches the totals (block_until_ready can
+    # return before device completion on this platform)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        buf, total = fn(x, n_valid)
-        int(jax.device_get(total))
+        bufs, totals = encode_batch(x)
+        np.asarray(jax.device_get(totals))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    mpxs = (n / 1e6) / dt
-    log(f"encode 4K RGBA: {dt * 1e3:.2f} ms/frame, {mpxs:.1f} Mpx/s, "
-        f"{total_host / 1024:.0f} KiB stream ({100 * total_host / (n * 4):.1f}%)")
+    mpxs = (BATCH * n / 1e6) / dt
+    log(f"encode {BATCH}x4K RGBA: {dt * 1e3:.2f} ms/batch, {mpxs:.1f} Mpx/s, "
+        f"{totals_host[0] / 1024:.0f} KiB/stream ({100 * totals_host[0] / (n * 4):.1f}%)")
 
     print(json.dumps({
-        "metric": "encode_4k_rgba_throughput",
+        "metric": "encode_4k_rgba_batch_throughput",
         "value": round(mpxs, 1),
         "unit": "Mpx/s",
         "vs_baseline": round(mpxs / BASELINE_ENCODE_MPXS, 2),

@@ -15,3 +15,41 @@ extern "C" int LLVMFuzzerTestOneInput(const uint8_t* data, size_t size) {
   (void)qoi_oracle::decode(data + 4, size - 4, d, want);
   return 0;
 }
+
+// Standalone driver (`make fuzz-asan`, g++ + ASan/UBSan, no libFuzzer):
+// random inputs plus mutated canonical streams for a fixed iteration count.
+#ifdef QOIFUZZ_STANDALONE
+#include <cstdio>
+#include <cstdlib>
+#include <random>
+#include <vector>
+
+int main(int argc, char** argv) {
+  const int iters = argc > 1 ? std::atoi(argv[1]) : 20000;
+  std::mt19937 rng(42);
+
+  // a canonical stream to mutate (16x8 RGBA gradient)
+  std::vector<uint8_t> px(16 * 8 * 4);
+  for (size_t i = 0; i < px.size(); ++i) px[i] = static_cast<uint8_t>(i * 7);
+  qoi_oracle::ImageDesc desc{16, 8, 4, 0};
+  std::vector<uint8_t> canon = qoi_oracle::encode(px.data(), desc);
+
+  std::vector<uint8_t> buf;
+  for (int it = 0; it < iters; ++it) {
+    if (it % 2 == 0) {
+      buf.resize(4 + rng() % 256);
+      for (auto& b : buf) b = static_cast<uint8_t>(rng());
+    } else {
+      buf.assign(4, 0);
+      buf[0] = static_cast<uint8_t>(rng());  // channels int (low byte)
+      buf.insert(buf.end(), canon.begin(), canon.end());
+      const int flips = 1 + rng() % 5;
+      for (int f = 0; f < flips; ++f)
+        buf[4 + rng() % canon.size()] = static_cast<uint8_t>(rng());
+    }
+    LLVMFuzzerTestOneInput(buf.data(), buf.size());
+  }
+  std::printf("qoifuzz-asan: %d iterations clean\n", iters);
+  return 0;
+}
+#endif

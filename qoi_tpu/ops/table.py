@@ -124,14 +124,14 @@ def table_hit(
     # state BEFORE block i = scanned[i] (scanned[0] == incoming)
     c_w, c_hi, c_lo = sc_w[:-1], sc_hi[:-1], sc_lo[:-1]
 
-    # -- exact one-hot matmul select per position (planes < 2^17 in f32)
-    onehot = (k_b[:, :, None] == slots8[None, None, :]).astype(jnp.float32)
-    plane1 = (c_w.astype(jnp.int32) * 65536 + c_hi).astype(jnp.float32)
-    plane2 = c_lo.astype(jnp.float32)
-    sel1 = jnp.einsum("nbs,ns->nb", onehot, plane1,
-                      preferred_element_type=jnp.float32).astype(jnp.int32)
-    sel2 = jnp.einsum("nbs,ns->nb", onehot, plane2,
-                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    # -- exact one-hot select per position: multiply-free masked sum over
+    # the 64 slots (one nonzero per row; int32 exact; compiles fast where
+    # 100k-batch tiny matmuls do not)
+    onehot = k_b[:, :, None] == slots8[None, None, :]  # (nb, b, 64)
+    plane1 = c_w.astype(jnp.int32) * 65536 + c_hi
+    plane2 = c_lo
+    sel1 = jnp.sum(jnp.where(onehot, plane1[:, None, :], 0), axis=2)
+    sel2 = jnp.sum(jnp.where(onehot, plane2[:, None, :], 0), axis=2)
     carry_written = sel1 >= 65536
     carry_val = ((sel1 & 0xFFFF).astype(jnp.uint32) << 16) | sel2.astype(jnp.uint32)
 
