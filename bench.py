@@ -60,13 +60,23 @@ def main() -> None:
 
     x = jax.device_put(jnp.asarray(batch))
 
+    # two-program flow: the table stage's big tensor families compile as
+    # their own program (PERF_NOTES.md: one monolith stalls the remote
+    # XLA compiler); overhead amortizes over the batch either way
     @jax.jit
-    def encode_batch(pb):
-        def one(p):
-            ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+    def phase_a(pb):
+        return jax.vmap(lambda p: pipeline._encode_phase_a(p, jnp.int32(n)))(pb)
+
+    @jax.jit
+    def phase_b(pb, local):
+        def one(p, loc):
+            ch = pipeline.encode_stage_chunks(p, jnp.int32(n), table_local=loc)
             return compact.compact_bytes(ch.staging, ch.lens, cap * 6)
 
-        return jax.vmap(one)(pb)
+        return jax.vmap(one)(pb, local)
+
+    def encode_batch(pb):
+        return phase_b(pb, phase_a(pb))
 
     # correctness gate: frame 0's stream must match the oracle byte-for-byte
     t0 = time.perf_counter()

@@ -26,13 +26,24 @@ from ..ops import compact
 from . import decode_pipeline, pipeline
 
 
+@jax.jit
+def _encode_batch_phase_a(px4: jnp.ndarray, n_valid: jnp.ndarray):
+    return jax.vmap(pipeline._encode_phase_a)(px4, n_valid)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
-def _encode_batch_device(px4: jnp.ndarray, n_valid: jnp.ndarray, capacity: int):
-    def one(px, n):
-        chunks = pipeline.encode_stage_chunks(px, n)
+def _encode_batch_phase_b(px4, n_valid, local, capacity: int):
+    def one(px, n, loc):
+        chunks = pipeline.encode_stage_chunks(px, n, table_local=loc)
         return compact.compact_bytes(chunks.staging, chunks.lens, capacity)
 
-    return jax.vmap(one)(px4, n_valid)
+    return jax.vmap(one, in_axes=(0, 0, 0))(px4, n_valid, local)
+
+
+def _encode_batch_device(px4: jnp.ndarray, n_valid: jnp.ndarray, capacity: int):
+    # two-program flow (PERF_NOTES.md: monolith stalls the remote compiler)
+    local = _encode_batch_phase_a(px4, n_valid)
+    return _encode_batch_phase_b(px4, n_valid, local, capacity)
 
 
 def encode_batch(

@@ -63,6 +63,7 @@ def encode_stage_chunks(
     run_in=None,
     table_in=None,
     contains_last=None,
+    table_local=None,
 ) -> EncodedChunks:
     """Stages 1-4: per-pixel chunk bytes + lengths, fully data-parallel.
 
@@ -102,10 +103,16 @@ def encode_stage_chunks(
     runs = runs._replace(emits_run=runs.emits_run & valid)
 
     # -- stage 3: color-table replay (only literal pixels write: qoi.h:415-436)
+    # `table_local` (precomputed table_hit_local output) lets host-level
+    # paths run the big-tensor phase as its own program (PERF_NOTES.md)
     keys = table.hash64(px4)
     packed = table.pack_rgba(px4)
-    hit0, (tbl_out, wr_out) = table.table_hit(
-        keys, packed, write=~eq, incoming=table_in)
+    if table_local is None:
+        hit0, (tbl_out, wr_out) = table.table_hit(
+            keys, packed, write=~eq, incoming=table_in)
+    else:
+        hit0, (tbl_out, wr_out) = table.table_hit_carry(
+            table_local, keys, packed, incoming=table_in)
     hit = ~eq & hit0
 
     # -- stage 4: op classification
@@ -157,6 +164,35 @@ def _encode_device(px4: jnp.ndarray, n_valid: jnp.ndarray):
     return compact.compact_bytes(chunks.staging, chunks.lens, capacity)
 
 
+# -- two-program flow for host-level paths: phase A runs the table stage's
+# big tensor families alone; phase B everything else. One program holding
+# both makes the remote XLA compiler's planning explode (PERF_NOTES.md).
+
+def _prep_eq(px4, n_valid):
+    io = jnp.arange(px4.shape[0], dtype=jnp.int32)
+    prev = jnp.concatenate([_SEED[None], px4[:-1]], axis=0)
+    return jnp.all(px4 == prev, axis=-1) | (io >= n_valid)
+
+
+@jax.jit
+def _encode_phase_a(px4: jnp.ndarray, n_valid: jnp.ndarray):
+    eq = _prep_eq(px4, n_valid)
+    return table.table_hit_local(
+        table.hash64(px4), table.pack_rgba(px4), write=~eq)
+
+
+@jax.jit
+def _encode_phase_b(px4: jnp.ndarray, n_valid: jnp.ndarray, local):
+    chunks = encode_stage_chunks(px4, n_valid, table_local=local)
+    capacity = px4.shape[0] * 6
+    return compact.compact_bytes(chunks.staging, chunks.lens, capacity)
+
+
+def encode_device_split(px4, n_valid):
+    """Device-resident encode as two chained programs (buf, total)."""
+    return _encode_phase_b(px4, n_valid, _encode_phase_a(px4, n_valid))
+
+
 def bucket_size(n: int, floor: int = 256) -> int:
     """Round a pixel count up to the next power of two (>= floor), bounding
     the number of distinct compiled shapes to O(log N_max)."""
@@ -186,6 +222,6 @@ def encode(pixels: np.ndarray, desc: fmt.StreamDesc) -> bytes:
     n = px4.shape[0]
     padded = np.zeros((bucket_size(n), 4), np.uint8)
     padded[:n] = px4
-    buf, total = _encode_device(jnp.asarray(padded), jnp.int32(n))
+    buf, total = encode_device_split(jnp.asarray(padded), jnp.int32(n))
     body = np.asarray(jax.device_get(buf))[: int(jax.device_get(total))]
     return fmt.pack_header(desc) + body.tobytes() + fmt.TRAILER

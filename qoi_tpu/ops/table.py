@@ -46,31 +46,19 @@ def hash64(px4: jnp.ndarray) -> jnp.ndarray:
     return (px4.astype(jnp.int32) @ mult) & (_SLOTS - 1)
 
 
-def table_hit(
+def table_hit_local(
     keys: jnp.ndarray,
     vals: jnp.ndarray,
     write: jnp.ndarray,
     block: int = _BLOCK,
-    incoming: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
-) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Encoder-specialized table replay: INDEX-hit detection with ZERO
-    gathers/scatters (TPU gathers cost ~10 ms per million elements on v5e
-    via XLA; this formulation measures as pure per-program overhead).
+):
+    """Phase A of `table_hit`: the two big tensor families (in-block
+    brute-force masks + per-slot value-plane summaries). Split out so the
+    encoder can run it as a separate program — the remote XLA compiler's
+    planning time explodes superlinearly when these families share one
+    program with the rest of the pipeline (PERF_NOTES.md).
 
-    hit[i] == (table value at keys[i] just before i) == vals[i], under the
-    same last-writer-wins semantics as `table_replay`. Machinery:
-
-      in-block   : brute-force (nb, B, B) masks — last same-key writer and
-                   last same-key-same-value writer coincide <=> hit;
-      summaries  : per-block last writer per slot, with the writer's value
-                   extracted by a position-in-high-bits max (no gather);
-      cross-block: overwrite-monoid `associative_scan` over (nb, 64)
-                   value/written planes (incoming state rides as a
-                   virtual first block);
-      selection  : per-position carry lookup as an exact one-hot f32
-                   matmul — 16-bit value planes keep every integer exact.
-
-    Returns (hit (N,) bool, (final_table (64,) uint32, final_written)).
+    Returns (hit_in, has_local (N,) bool; s_written/s_hi/s_lo (nb, 64)).
     """
     n = keys.shape[0]
     b = block
@@ -90,7 +78,8 @@ def table_hit(
     wrl = jnp.max(jnp.where(mask, jj, jnp.int8(-1)), axis=2)  # (nb, b)
     vmask = mask & (v_b[:, :, None] == v_b[:, None, :])
     svl = jnp.max(jnp.where(vmask, jj, jnp.int8(-1)), axis=2)
-    hit_in = (wrl >= 0) & (svl == wrl)
+    hit_in = ((wrl >= 0) & (svl == wrl)).reshape(-1)[:n]
+    has_local = (wrl >= 0).reshape(-1)[:n]
 
     # -- per-block summaries: last writer per slot + its value planes
     slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
@@ -99,9 +88,26 @@ def table_hit(
     # position in bits 16.. selects the LAST writer; value rides in bits 0..15
     comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
     comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
-    s_written = comb_hi >= 0
-    s_hi = comb_hi & 0xFFFF
-    s_lo = comb_lo & 0xFFFF
+    return hit_in, has_local, comb_hi >= 0, comb_hi & 0xFFFF, comb_lo & 0xFFFF
+
+
+def table_hit_carry(
+    local,
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    block: int = _BLOCK,
+    incoming: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Phase B of `table_hit`: cross-block overwrite scan + per-position
+    carry selection + hit combination. `local` = table_hit_local output."""
+    hit_in, has_local, s_written, s_hi, s_lo = local
+    n = keys.shape[0]
+    b = block
+    nb = -(-n // b)
+    pad = nb * b - n
+    k_b = jnp.pad(keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
+    v_b = jnp.pad(vals.astype(jnp.uint32), (0, pad)).reshape(nb, b)
+    slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
 
     # -- cross-block overwrite scan (incoming state as a virtual block 0)
     if incoming is None:
@@ -135,14 +141,38 @@ def table_hit(
     carry_written = sel1 >= 65536
     carry_val = ((sel1 & 0xFFFF).astype(jnp.uint32) << 16) | sel2.astype(jnp.uint32)
 
-    hit_carry = jnp.where(carry_written, carry_val == v_b, v_b == 0)
-    hit = jnp.where(wrl >= 0, hit_in, hit_carry).reshape(-1)[:n]
+    hit_carry = (jnp.where(carry_written, carry_val == v_b, v_b == 0)
+                 ).reshape(-1)[:n]
+    hit = jnp.where(has_local, hit_in, hit_carry)
 
     final_written = sc_w[-1]
     final_table = jnp.where(
         final_written,
         (sc_hi[-1].astype(jnp.uint32) << 16) | sc_lo[-1].astype(jnp.uint32), 0)
     return hit, (final_table, final_written)
+
+
+def table_hit(
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    write: jnp.ndarray,
+    block: int = _BLOCK,
+    incoming: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Encoder-specialized table replay: INDEX-hit detection with ZERO
+    gathers/scatters (TPU gathers cost ~10 ms per million elements on v5e
+    via XLA; this formulation measures as pure per-program overhead).
+
+    hit[i] == (table value at keys[i] just before i) == vals[i], under the
+    same last-writer-wins semantics as `table_replay`. See
+    table_hit_local/table_hit_carry for the machinery; host-level encode
+    paths run the two phases as separate programs to keep remote-compiler
+    planning tractable (PERF_NOTES.md).
+
+    Returns (hit (N,) bool, (final_table (64,) uint32, final_written)).
+    """
+    local = table_hit_local(keys, vals, write, block)
+    return table_hit_carry(local, keys, vals, block, incoming)
 
 
 def table_replay(
