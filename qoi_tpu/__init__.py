@@ -16,13 +16,24 @@ from .format import (  # noqa: F401
 __version__ = "0.1.0"
 
 
+#: pixel count above which the all-at-once pipeline's intermediates would
+#: strain single-chip HBM; larger images stream tile-by-tile instead
+STREAM_THRESHOLD_PX = 1 << 24
+
+
 def encode(pixels, desc=None, engine: str = "tpu") -> bytes:
     """Encode pixels ((h, w, 3|4) uint8, or flat with an explicit desc) to a
-    QOI stream, byte-identical to the reference encoder (qoi.h:356)."""
+    QOI stream, byte-identical to the reference encoder (qoi.h:356). Huge
+    images (reference cap: 400 Mpx, qoi.h:329-332) automatically use the
+    tile-streaming path (models/streamed.py)."""
     from . import io as _io
 
     if desc is None:
         desc = _io.image_desc(pixels)
+    if engine == "tpu" and desc.num_pixels > STREAM_THRESHOLD_PX:
+        from .models import streamed
+
+        return streamed.encode(pixels, desc)
     enc, _ = _io._engine(engine)
     return enc(pixels, desc)
 

@@ -175,6 +175,107 @@ def table_hit(
     return table_hit_carry(local, keys, vals, block, incoming)
 
 
+def table_select_local(
+    keys: jnp.ndarray,
+    vals: jnp.ndarray,
+    write: jnp.ndarray,
+    query_keys: jnp.ndarray,
+    block: int = _BLOCK,
+):
+    """Phase A of `table_select`: in-block before-values per position plus
+    per-slot value summaries — all big tensor families, zero gathers.
+
+    Returns (in_hi, in_lo (N,) int32 [-1 = no in-block writer];
+             s_written/s_hi/s_lo (nb, 64))."""
+    n = keys.shape[0]
+    b = block
+    nb = -(-n // b)
+    pad = nb * b - n
+
+    k_b = jnp.pad(keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
+    qk_b = jnp.pad(query_keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
+    w_b = jnp.pad(write, (0, pad)).reshape(nb, b)
+    v_b = jnp.pad(vals.astype(jnp.uint32), (0, pad)).reshape(nb, b)
+    v_hi = (v_b >> 16).astype(jnp.int32)
+    v_lo = (v_b & 0xFFFF).astype(jnp.int32)
+
+    ii = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 2)
+    jj32 = jax.lax.broadcasted_iota(jnp.int32, (nb, b, b), 2)
+    mask = (qk_b[:, :, None] == k_b[:, None, :]) & (ii > jj) & w_b[:, None, :]
+    # position in bits 16.. selects the LAST in-block writer of the queried
+    # slot; its value plane rides in bits 0..15 (no gather)
+    in_hi = jnp.max(jnp.where(mask, (jj32 << 16) | v_hi[:, None, :], -1), axis=2)
+    in_lo = jnp.max(jnp.where(mask, (jj32 << 16) | v_lo[:, None, :], -1), axis=2)
+
+    slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
+    smask = (k_b[:, None, :] == slots8[None, :, None]) & w_b[:, None, :]
+    sj32 = jax.lax.broadcasted_iota(jnp.int32, (nb, _SLOTS, b), 2)
+    comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
+    comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
+    return (in_hi.reshape(-1)[:n], in_lo.reshape(-1)[:n],
+            comb_hi >= 0, comb_hi & 0xFFFF, comb_lo & 0xFFFF)
+
+
+def table_select_carry(
+    local,
+    query_keys: jnp.ndarray,
+    block: int = _BLOCK,
+    incoming: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Phase B of `table_select`: cross-block carry + per-position combine.
+
+    Returns (before (N,) uint32, found (N,) bool, (final_table, written)):
+    the table VALUE at query_keys[i] just before position i — the
+    gather-free counterpart of `table_replay`'s `before`."""
+    in_hi, in_lo, s_written, s_hi, s_lo = local
+    n = query_keys.shape[0]
+    b = block
+    nb = -(-n // b)
+    pad = nb * b - n
+    qk_b = jnp.pad(query_keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
+    slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
+
+    if incoming is None:
+        inc_t = jnp.zeros((_SLOTS,), jnp.uint32)
+        inc_w = jnp.zeros((_SLOTS,), bool)
+    else:
+        inc_t = incoming[0].astype(jnp.uint32)
+        inc_w = incoming[1]
+    ext_w = jnp.concatenate([inc_w[None], s_written])
+    ext_hi = jnp.concatenate([(inc_t >> 16).astype(jnp.int32)[None], s_hi])
+    ext_lo = jnp.concatenate([(inc_t & 0xFFFF).astype(jnp.int32)[None], s_lo])
+
+    def combine(a, bb):
+        aw, ah, al = a
+        bw, bh, bl = bb
+        return (aw | bw, jnp.where(bw, bh, ah), jnp.where(bw, bl, al))
+
+    sc_w, sc_hi, sc_lo = jax.lax.associative_scan(
+        combine, (ext_w, ext_hi, ext_lo), axis=0)
+    c_w, c_hi, c_lo = sc_w[:-1], sc_hi[:-1], sc_lo[:-1]
+
+    onehot = qk_b[:, :, None] == slots8[None, None, :]
+    plane1 = c_w.astype(jnp.int32) * 65536 + c_hi
+    plane2 = c_lo
+    sel1 = jnp.sum(jnp.where(onehot, plane1[:, None, :], 0), axis=2)
+    sel2 = jnp.sum(jnp.where(onehot, plane2[:, None, :], 0), axis=2)
+    carry_written = (sel1 >= 65536).reshape(-1)[:n]
+    carry_val = (((sel1 & 0xFFFF).astype(jnp.uint32) << 16)
+                 | sel2.astype(jnp.uint32)).reshape(-1)[:n]
+
+    has_in = in_hi >= 0
+    in_val = ((in_hi & 0xFFFF).astype(jnp.uint32) << 16) | (in_lo & 0xFFFF).astype(jnp.uint32)
+    before = jnp.where(has_in, in_val, jnp.where(carry_written, carry_val, 0))
+    found = has_in | carry_written
+
+    final_written = sc_w[-1]
+    final_table = jnp.where(
+        final_written,
+        (sc_hi[-1].astype(jnp.uint32) << 16) | sc_lo[-1].astype(jnp.uint32), 0)
+    return before, found, (final_table, final_written)
+
+
 def table_replay(
     keys: jnp.ndarray,
     vals: jnp.ndarray,
