@@ -71,7 +71,7 @@ def main() -> None:
     def phase_b(pb, local):
         def one(p, loc):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n), table_local=loc)
-            return compact.compact_bytes(ch.staging, ch.lens, cap * 6)
+            return compact.compact_bytes6(ch.staging, ch.lens, cap * 6)
 
         return jax.vmap(one)(pb, local)
 

@@ -35,7 +35,7 @@ def _encode_batch_phase_a(px4: jnp.ndarray, n_valid: jnp.ndarray):
 def _encode_batch_phase_b(px4, n_valid, local, capacity: int):
     def one(px, n, loc):
         chunks = pipeline.encode_stage_chunks(px, n, table_local=loc)
-        return compact.compact_bytes(chunks.staging, chunks.lens, capacity)
+        return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
 
     return jax.vmap(one, in_axes=(0, 0, 0))(px4, n_valid, local)
 

@@ -26,7 +26,6 @@ import numpy as np
 
 from .. import format as fmt
 from ..ops import compact, scans, table
-from .scan_codec import classify_literal
 
 _SEED = jnp.array(fmt.SEED_PIXEL, dtype=jnp.uint8)
 
@@ -50,7 +49,7 @@ class EncoderCarry(NamedTuple):
 class EncodedChunks(NamedTuple):
     """Per-pixel chunk staging before compaction."""
 
-    staging: jnp.ndarray  # (N, 6) uint8: [run-flush byte?] + chunk bytes
+    staging: jnp.ndarray  # (6, N) uint8 byte planes: [flush?] + chunk bytes
     lens: jnp.ndarray     # (N,) int32 emitted byte count (0 for run members)
     carry: EncoderCarry   # outgoing boundary state after the valid region
 
@@ -115,29 +114,60 @@ def encode_stage_chunks(
             table_local, keys, packed, incoming=table_in)
     hit = ~eq & hit0
 
-    # -- stage 4: op classification
-    lit_bytes, lit_len = classify_literal(px4, prev)  # (N,5), (N,)
+    # -- stage 4: op classification, byte-plane-major (every array here is
+    # (N,) — (N, small) layouts pad the minor dim to 128 lanes on TPU and
+    # blow HBM by 21x, PERF_NOTES.md)
+    d = (px4[:, :3] - prev[:, :3]).astype(jnp.int8)
+    vr, vg, vb = d[:, 0], d[:, 1], d[:, 2]
+    vg_r = (vr - vg).astype(jnp.int8)
+    vg_b = (vb - vg).astype(jnp.int8)
+    alpha_same = px4[:, 3] == prev[:, 3]
+    small = lambda v: (v >= -2) & (v <= 1)
+    is_diff = alpha_same & small(vr) & small(vg) & small(vb)
+    is_luma = (alpha_same & ~is_diff
+               & (vg >= -32) & (vg <= 31)
+               & (vg_r >= -8) & (vg_r <= 7)
+               & (vg_b >= -8) & (vg_b <= 7))
+    is_rgb = alpha_same & ~is_diff & ~is_luma
+
+    i16 = lambda v: v.astype(jnp.int16)
+    diff_b0 = (fmt.OP_DIFF | (i16(vr) + 2) << 4 | (i16(vg) + 2) << 2
+               | (i16(vb) + 2)).astype(jnp.uint8)
+    luma_b0 = (fmt.OP_LUMA | (i16(vg) + 32)).astype(jnp.uint8)
+    luma_b1 = ((i16(vg_r) + 8) << 4 | (i16(vg_b) + 8)).astype(jnp.uint8)
     idx_byte = (fmt.OP_INDEX | keys).astype(jnp.uint8)
-    own = jnp.where(hit[:, None], 0, lit_bytes)
-    own = own.at[:, 0].set(jnp.where(hit, idx_byte, lit_bytes[:, 0]))
-    own_len = jnp.where(hit, 1, lit_len)
+    u8 = lambda x: jnp.full_like(idx_byte, x)
+
+    own0 = jnp.where(hit, idx_byte,
+            jnp.where(is_diff, diff_b0,
+            jnp.where(is_luma, luma_b0,
+            jnp.where(is_rgb, u8(fmt.OP_RGB), u8(fmt.OP_RGBA)))))
+    lit1 = jnp.where(is_luma, luma_b1, px4[:, 0])
+    own1 = jnp.where(hit | is_diff, 0, lit1)
+    own2 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 1])
+    own3 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 2])
+    own4 = jnp.where(is_rgb | hit | is_diff | is_luma, 0, px4[:, 3])
+    own_len = jnp.where(hit | is_diff, 1,
+               jnp.where(is_luma, 2, jnp.where(is_rgb, 4, 5)))
 
     run_byte = (fmt.OP_RUN | (runs.run_val - 1)).astype(jnp.uint8)
     flush_byte = (fmt.OP_RUN | (runs.flush_val - 1)).astype(jnp.uint8)
 
-    # byte 0: RUN for run members, flush byte when pending, else the chunk head
-    b0 = jnp.where(eq, run_byte, jnp.where(runs.flush, flush_byte, own[:, 0]))
-    # bytes 1..5: the chunk, shifted right one slot when a flush byte leads
-    shifted = jnp.where(runs.flush[:, None], own,
-                        jnp.concatenate([own[:, 1:], jnp.zeros((n, 1), jnp.uint8)], axis=1))
-    staging = jnp.concatenate([b0[:, None], shifted], axis=1)
-    staging = jnp.where(eq[:, None], jnp.concatenate(
-        [run_byte[:, None], jnp.zeros((n, 5), jnp.uint8)], axis=1), staging)
+    # byte 0: RUN for run members, flush byte when pending, else the chunk
+    # head; bytes 1..5 shift right one slot when a flush byte leads
+    fl = runs.flush
+    s0 = jnp.where(eq, run_byte, jnp.where(fl, flush_byte, own0))
+    s1 = jnp.where(eq, 0, jnp.where(fl, own0, own1))
+    s2 = jnp.where(eq, 0, jnp.where(fl, own1, own2))
+    s3 = jnp.where(eq, 0, jnp.where(fl, own2, own3))
+    s4 = jnp.where(eq, 0, jnp.where(fl, own3, own4))
+    s5 = jnp.where(eq | ~fl, 0, own4)
+    staging = jnp.stack([s0, s1, s2, s3, s4, s5], axis=0)  # (6, N)
 
     lens = jnp.where(
         eq,
         jnp.where(runs.emits_run, 1, 0),
-        own_len + runs.flush.astype(jnp.int32),
+        own_len.astype(jnp.int32) + fl.astype(jnp.int32),
     )
 
     # -- outgoing carry at the valid-region boundary (for tile chaining).
@@ -161,7 +191,7 @@ def encode_stage_chunks(
 def _encode_device(px4: jnp.ndarray, n_valid: jnp.ndarray):
     chunks = encode_stage_chunks(px4, n_valid)
     capacity = px4.shape[0] * 6
-    return compact.compact_bytes(chunks.staging, chunks.lens, capacity)
+    return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
 
 
 # -- two-program flow for host-level paths: phase A runs the table stage's
@@ -185,7 +215,7 @@ def _encode_phase_a(px4: jnp.ndarray, n_valid: jnp.ndarray):
 def _encode_phase_b(px4: jnp.ndarray, n_valid: jnp.ndarray, local):
     chunks = encode_stage_chunks(px4, n_valid, table_local=local)
     capacity = px4.shape[0] * 6
-    return compact.compact_bytes(chunks.staging, chunks.lens, capacity)
+    return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
 
 
 def encode_device_split(px4, n_valid):

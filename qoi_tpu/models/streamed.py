@@ -31,7 +31,7 @@ def _tile_step(px4, n_valid, contains_last, carry: pipeline.EncoderCarry):
         table_in=(carry.table, carry.written),
         contains_last=contains_last,
     )
-    buf, total = compact.compact_bytes(
+    buf, total = compact.compact_bytes6(
         chunks.staging, chunks.lens, px4.shape[0] * 6)
     return buf, total, chunks.carry
 

@@ -46,6 +46,30 @@ def compact_bytes(
     return out, total.astype(jnp.int32)
 
 
+def compact_bytes6(
+    staging6: jnp.ndarray, lens: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-based compaction, channel-major layout. staging6: (K, N) uint8
+    (byte-plane-major: TPU pads the minor dimension to 128 lanes, so the
+    (N, K) layout wastes 21x HBM — PERF_NOTES.md); lens: (N,) int32.
+
+    The sort doesn't care about input order, so the (K, N) flattening is
+    sorted directly — bytes land at their exclusive-prefix-sum offsets
+    regardless."""
+    k, n = staging6.shape
+    offs = exclusive_cumsum(lens)
+    total = offs[-1] + lens[-1] if n else jnp.int32(0)
+    col = jnp.arange(k, dtype=jnp.int32)[:, None]
+    tgt = jnp.where(col < lens[None, :], offs[None, :] + col, n * k).reshape(-1)
+    _, packed = jax.lax.sort_key_val(tgt, staging6.reshape(-1))
+    if capacity <= n * k:
+        out = packed[:capacity]
+    else:
+        out = jnp.concatenate(
+            [packed, jnp.zeros((capacity - n * k,), jnp.uint8)])
+    return out, total.astype(jnp.int32)
+
+
 def compact_bytes_scatter(
     staging: jnp.ndarray, lens: jnp.ndarray, capacity: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -46,17 +46,38 @@ def hash64(px4: jnp.ndarray) -> jnp.ndarray:
     return (px4.astype(jnp.int32) @ mult) & (_SLOTS - 1)
 
 
+#: blocks per lax.map segment in the big-tensor phases: bounds live HBM to
+#: ~seg_blocks*block^2 bytes per mask family (the all-at-once form OOMs at
+#: ~2 GB/family and stalls the remote compiler — PERF_NOTES.md)
+_SEG_BLOCKS = 2048
+
+
+def _to_segments(keys, vals, write, query_keys, b, nb, pad):
+    ns = -(-nb // _SEG_BLOCKS)
+    bpad = ns * _SEG_BLOCKS - nb
+    total_pad = pad + bpad * b
+
+    def shape(x, dtype=None):
+        x = jnp.pad(x, (0, total_pad))
+        if dtype is not None:
+            x = x.astype(dtype)
+        return x.reshape(ns, _SEG_BLOCKS, b)
+
+    return (ns, shape(keys, jnp.int8), shape(write),
+            shape(vals.astype(jnp.uint32)),
+            None if query_keys is None else shape(query_keys, jnp.int8))
+
+
 def table_hit_local(
     keys: jnp.ndarray,
     vals: jnp.ndarray,
     write: jnp.ndarray,
     block: int = _BLOCK,
 ):
-    """Phase A of `table_hit`: the two big tensor families (in-block
-    brute-force masks + per-slot value-plane summaries). Split out so the
-    encoder can run it as a separate program — the remote XLA compiler's
-    planning time explodes superlinearly when these families share one
-    program with the rest of the pipeline (PERF_NOTES.md).
+    """Phase A of `table_hit`: the big tensor families (in-block
+    brute-force masks + per-slot value-plane summaries), processed as a
+    `lax.map` over segments of blocks — bounded live memory and a small
+    compile graph (PERF_NOTES.md).
 
     Returns (hit_in, has_local (N,) bool; s_written/s_hi/s_lo (nb, 64)).
     """
@@ -64,31 +85,57 @@ def table_hit_local(
     b = block
     nb = -(-n // b)
     pad = nb * b - n
-
-    k_b = jnp.pad(keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
-    w_b = jnp.pad(write, (0, pad)).reshape(nb, b)
-    v_b = jnp.pad(vals.astype(jnp.uint32), (0, pad)).reshape(nb, b)
-    v_hi = (v_b >> 16).astype(jnp.int32)
-    v_lo = (v_b & 0xFFFF).astype(jnp.int32)
-
-    # -- in-block: last same-key writer vs last same-(key,value) writer
-    ii = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 2)
-    mask = (k_b[:, :, None] == k_b[:, None, :]) & (ii > jj) & w_b[:, None, :]
-    wrl = jnp.max(jnp.where(mask, jj, jnp.int8(-1)), axis=2)  # (nb, b)
-    vmask = mask & (v_b[:, :, None] == v_b[:, None, :])
-    svl = jnp.max(jnp.where(vmask, jj, jnp.int8(-1)), axis=2)
-    hit_in = ((wrl >= 0) & (svl == wrl)).reshape(-1)[:n]
-    has_local = (wrl >= 0).reshape(-1)[:n]
-
-    # -- per-block summaries: last writer per slot + its value planes
+    ns, k_s, w_s, v_s, _ = _to_segments(keys, vals, write, None, b, nb, pad)
     slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
-    smask = (k_b[:, None, :] == slots8[None, :, None]) & w_b[:, None, :]
-    sj32 = jax.lax.broadcasted_iota(jnp.int32, (nb, _SLOTS, b), 2)
-    # position in bits 16.. selects the LAST writer; value rides in bits 0..15
-    comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
-    comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
+
+    def seg(args):
+        k_b, w_b, v_b = args  # (sb, b) each
+        sb = k_b.shape[0]
+        v_hi = (v_b >> 16).astype(jnp.int32)
+        v_lo = (v_b & 0xFFFF).astype(jnp.int32)
+        ii = jax.lax.broadcasted_iota(jnp.int8, (sb, b, b), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int8, (sb, b, b), 2)
+        mask = (k_b[:, :, None] == k_b[:, None, :]) & (ii > jj) & w_b[:, None, :]
+        wrl = jnp.max(jnp.where(mask, jj, jnp.int8(-1)), axis=2)
+        vmask = mask & (v_b[:, :, None] == v_b[:, None, :])
+        svl = jnp.max(jnp.where(vmask, jj, jnp.int8(-1)), axis=2)
+        smask = (k_b[:, None, :] == slots8[None, :, None]) & w_b[:, None, :]
+        sj32 = jax.lax.broadcasted_iota(jnp.int32, (sb, _SLOTS, b), 2)
+        # position in bits 16.. selects the LAST writer; value in bits 0..15
+        comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
+        comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
+        return (wrl >= 0) & (svl == wrl), wrl >= 0, comb_hi, comb_lo
+
+    hit_in, has_local, comb_hi, comb_lo = jax.lax.map(seg, (k_s, w_s, v_s))
+    hit_in = hit_in.reshape(-1)[:n]
+    has_local = has_local.reshape(-1)[:n]
+    comb_hi = comb_hi.reshape(-1, _SLOTS)[:nb]
+    comb_lo = comb_lo.reshape(-1, _SLOTS)[:nb]
     return hit_in, has_local, comb_hi >= 0, comb_hi & 0xFFFF, comb_lo & 0xFFFF
+
+
+def _onehot_select_chunked(k_b, plane1, plane2):
+    """Per-position select of per-(block, slot) planes by each position's
+    slot, as a masked sum over the 64 slots — lax.map-chunked so the
+    (blocks, b, 64) intermediates stay ~MB-sized. k_b: (nb, b) int8;
+    planes: (nb, 64) int32. Returns two (nb, b) int32."""
+    nb, b = k_b.shape
+    ns = -(-nb // _SEG_BLOCKS)
+    bpad = ns * _SEG_BLOCKS - nb
+    k_p = jnp.pad(k_b, ((0, bpad), (0, 0))).reshape(ns, _SEG_BLOCKS, b)
+    p1 = jnp.pad(plane1, ((0, bpad), (0, 0))).reshape(ns, _SEG_BLOCKS, _SLOTS)
+    p2 = jnp.pad(plane2, ((0, bpad), (0, 0))).reshape(ns, _SEG_BLOCKS, _SLOTS)
+    slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
+
+    def seg(args):
+        k, q1, q2 = args
+        onehot = k[:, :, None] == slots8[None, None, :]
+        s1 = jnp.sum(jnp.where(onehot, q1[:, None, :], 0), axis=2)
+        s2 = jnp.sum(jnp.where(onehot, q2[:, None, :], 0), axis=2)
+        return s1, s2
+
+    s1, s2 = jax.lax.map(seg, (k_p, p1, p2))
+    return (s1.reshape(-1, b)[:nb], s2.reshape(-1, b)[:nb])
 
 
 def table_hit_carry(
@@ -131,13 +178,10 @@ def table_hit_carry(
     c_w, c_hi, c_lo = sc_w[:-1], sc_hi[:-1], sc_lo[:-1]
 
     # -- exact one-hot select per position: multiply-free masked sum over
-    # the 64 slots (one nonzero per row; int32 exact; compiles fast where
-    # 100k-batch tiny matmuls do not)
-    onehot = k_b[:, :, None] == slots8[None, None, :]  # (nb, b, 64)
+    # the 64 slots (one nonzero per row; int32 exact), chunked by lax.map
     plane1 = c_w.astype(jnp.int32) * 65536 + c_hi
     plane2 = c_lo
-    sel1 = jnp.sum(jnp.where(onehot, plane1[:, None, :], 0), axis=2)
-    sel2 = jnp.sum(jnp.where(onehot, plane2[:, None, :], 0), axis=2)
+    sel1, sel2 = _onehot_select_chunked(k_b, plane1, plane2)
     carry_written = sel1 >= 65536
     carry_val = ((sel1 & 0xFFFF).astype(jnp.uint32) << 16) | sel2.astype(jnp.uint32)
 
@@ -191,30 +235,35 @@ def table_select_local(
     b = block
     nb = -(-n // b)
     pad = nb * b - n
-
-    k_b = jnp.pad(keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
-    qk_b = jnp.pad(query_keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
-    w_b = jnp.pad(write, (0, pad)).reshape(nb, b)
-    v_b = jnp.pad(vals.astype(jnp.uint32), (0, pad)).reshape(nb, b)
-    v_hi = (v_b >> 16).astype(jnp.int32)
-    v_lo = (v_b & 0xFFFF).astype(jnp.int32)
-
-    ii = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int8, (nb, b, b), 2)
-    jj32 = jax.lax.broadcasted_iota(jnp.int32, (nb, b, b), 2)
-    mask = (qk_b[:, :, None] == k_b[:, None, :]) & (ii > jj) & w_b[:, None, :]
-    # position in bits 16.. selects the LAST in-block writer of the queried
-    # slot; its value plane rides in bits 0..15 (no gather)
-    in_hi = jnp.max(jnp.where(mask, (jj32 << 16) | v_hi[:, None, :], -1), axis=2)
-    in_lo = jnp.max(jnp.where(mask, (jj32 << 16) | v_lo[:, None, :], -1), axis=2)
-
+    ns, k_s, w_s, v_s, qk_s = _to_segments(
+        keys, vals, write, query_keys, b, nb, pad)
     slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
-    smask = (k_b[:, None, :] == slots8[None, :, None]) & w_b[:, None, :]
-    sj32 = jax.lax.broadcasted_iota(jnp.int32, (nb, _SLOTS, b), 2)
-    comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
-    comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
-    return (in_hi.reshape(-1)[:n], in_lo.reshape(-1)[:n],
-            comb_hi >= 0, comb_hi & 0xFFFF, comb_lo & 0xFFFF)
+
+    def seg(args):
+        k_b, w_b, v_b, qk_b = args
+        sb = k_b.shape[0]
+        v_hi = (v_b >> 16).astype(jnp.int32)
+        v_lo = (v_b & 0xFFFF).astype(jnp.int32)
+        ii = jax.lax.broadcasted_iota(jnp.int8, (sb, b, b), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int8, (sb, b, b), 2)
+        jj32 = jax.lax.broadcasted_iota(jnp.int32, (sb, b, b), 2)
+        mask = (qk_b[:, :, None] == k_b[:, None, :]) & (ii > jj) & w_b[:, None, :]
+        # position in bits 16.. selects the LAST in-block writer of the
+        # queried slot; its value plane rides in bits 0..15 (no gather)
+        in_hi = jnp.max(jnp.where(mask, (jj32 << 16) | v_hi[:, None, :], -1), axis=2)
+        in_lo = jnp.max(jnp.where(mask, (jj32 << 16) | v_lo[:, None, :], -1), axis=2)
+        smask = (k_b[:, None, :] == slots8[None, :, None]) & w_b[:, None, :]
+        sj32 = jax.lax.broadcasted_iota(jnp.int32, (sb, _SLOTS, b), 2)
+        comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
+        comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
+        return in_hi, in_lo, comb_hi, comb_lo
+
+    in_hi, in_lo, comb_hi, comb_lo = jax.lax.map(seg, (k_s, w_s, v_s, qk_s))
+    in_hi = in_hi.reshape(-1)[:n]
+    in_lo = in_lo.reshape(-1)[:n]
+    comb_hi = comb_hi.reshape(-1, _SLOTS)[:nb]
+    comb_lo = comb_lo.reshape(-1, _SLOTS)[:nb]
+    return (in_hi, in_lo, comb_hi >= 0, comb_hi & 0xFFFF, comb_lo & 0xFFFF)
 
 
 def table_select_carry(
@@ -255,11 +304,9 @@ def table_select_carry(
         combine, (ext_w, ext_hi, ext_lo), axis=0)
     c_w, c_hi, c_lo = sc_w[:-1], sc_hi[:-1], sc_lo[:-1]
 
-    onehot = qk_b[:, :, None] == slots8[None, None, :]
     plane1 = c_w.astype(jnp.int32) * 65536 + c_hi
     plane2 = c_lo
-    sel1 = jnp.sum(jnp.where(onehot, plane1[:, None, :], 0), axis=2)
-    sel2 = jnp.sum(jnp.where(onehot, plane2[:, None, :], 0), axis=2)
+    sel1, sel2 = _onehot_select_chunked(qk_b, plane1, plane2)
     carry_written = (sel1 >= 65536).reshape(-1)[:n]
     carry_val = (((sel1 & 0xFFFF).astype(jnp.uint32) << 16)
                  | sel2.astype(jnp.uint32)).reshape(-1)[:n]

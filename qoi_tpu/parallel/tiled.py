@@ -89,7 +89,7 @@ def _tile_step(px4: jnp.ndarray, n_total: jnp.ndarray, axis: str):
         prev_in=prev_in, run_in=run_in, table_in=table_in,
         contains_last=contains_last,
     )
-    buf, total = compact.compact_bytes(chunks.staging, chunks.lens, b * 6)
+    buf, total = compact.compact_bytes6(chunks.staging, chunks.lens, b * 6)
     total = total.astype(jnp.int32)
 
     # -- stream offsets: exclusive sum of tile byte counts

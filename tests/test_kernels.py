@@ -12,7 +12,8 @@ def _stage_ref(px4, n_valid):
     import jax.numpy as jnp
 
     chunks = pipeline.encode_stage_chunks(jnp.asarray(px4), jnp.int32(n_valid))
-    return np.asarray(chunks.staging), np.asarray(chunks.lens)
+    # pipeline staging is byte-plane-major (6, N); the kernel emits (N, 6)
+    return np.asarray(chunks.staging).T, np.asarray(chunks.lens)
 
 
 def _stage_pallas(px4, n_valid, block=256):
