@@ -58,34 +58,32 @@ def main() -> None:
     for i, f in enumerate(frames):
         batch[i, :n] = pipeline.force_rgba(f, desc)
 
-    x = jax.device_put(jnp.asarray(batch))
+    xs = [jax.device_put(jnp.asarray(batch[i])) for i in range(BATCH)]
 
-    # two-program flow: the table stage's big tensor families compile as
-    # their own program (PERF_NOTES.md: one monolith stalls the remote
-    # XLA compiler); overhead amortizes over the batch either way
+    # one fused program per frame (stages + gather-free table + two-tier
+    # segment-sort compaction), dispatched BATCH-deep so per-program
+    # overhead (~40 ms on this platform) overlaps compute in the async
+    # queue — measured faster than vmap batching (PERF_NOTES.md)
     @jax.jit
-    def phase_a(pb):
-        return jax.vmap(lambda p: pipeline._encode_phase_a(p, jnp.int32(n)))(pb)
+    def encode_one(p):
+        ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+        return compact.compact_bytes6(ch.staging, ch.lens, cap * 6)
 
-    @jax.jit
-    def phase_b(pb, local):
-        def one(p, loc):
-            ch = pipeline.encode_stage_chunks(p, jnp.int32(n), table_local=loc)
-            return compact.compact_bytes6(ch.staging, ch.lens, cap * 6)
-
-        return jax.vmap(one)(pb, local)
-
-    def encode_batch(pb):
-        return phase_b(pb, phase_a(pb))
+    def encode_frames():
+        outs = [encode_one(x) for x in xs]
+        for _, t in outs:
+            int(jax.device_get(t))
+        return outs
 
     # correctness gate: frame 0's stream must match the oracle byte-for-byte
     t0 = time.perf_counter()
-    bufs, totals = encode_batch(x)
-    totals_host = np.asarray(jax.device_get(totals))
+    outs = encode_frames()
+    bufs, totals = outs[0]
+    totals_host = np.asarray([int(jax.device_get(t)) for _, t in outs])
     log(f"compile+first run: {time.perf_counter() - t0:.0f}s")
     stream0 = (
         fmt.pack_header(desc)
-        + np.asarray(jax.device_get(bufs[0]))[: totals_host[0]].tobytes()
+        + np.asarray(jax.device_get(bufs))[: totals_host[0]].tobytes()
         + fmt.TRAILER
     )
     try:
@@ -104,8 +102,7 @@ def main() -> None:
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        bufs, totals = encode_batch(x)
-        np.asarray(jax.device_get(totals))
+        encode_frames()
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
