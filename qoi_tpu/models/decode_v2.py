@@ -105,7 +105,8 @@ def _unpack_flags(flags):
 
 
 def _resolve_scan(f, lit, deltas, idx_val, idx_found):
-    """Per-channel reset-or-add scans -> value-after-byte (M, 4) uint8.
+    """Per-channel reset-or-add scans -> value-after-byte (4, M) uint8,
+    channel-major ((M, 4) would lane-pad 32x on TPU — PERF_NOTES.md).
     idx_val/idx_found: INDEX chunks' table values for this round."""
     m = lit.shape[0]
     b2 = (lit & 0xFF).astype(jnp.uint8)
@@ -126,14 +127,14 @@ def _resolve_scan(f, lit, deltas, idx_val, idx_found):
     reset_rgb = lit_rgb | f["is_index"]
     reset_a = f["is_rgba"] | f["is_index"]
 
-    rflag = jnp.stack([reset_rgb, reset_rgb, reset_rgb, reset_a], axis=1)
+    rflag = jnp.stack([reset_rgb, reset_rgb, reset_rgb, reset_a], axis=0)
     rval = jnp.stack([
         jnp.where(lit_rgb, b2, ir),
         jnp.where(lit_rgb, b3, ig),
         jnp.where(lit_rgb, b4, ib),
         jnp.where(f["is_rgba"], b5, ia),
-    ], axis=1)
-    aval = jnp.stack([dr, dg, db, jnp.zeros((m,), jnp.uint8)], axis=1)
+    ], axis=0)
+    aval = jnp.stack([dr, dg, db, jnp.zeros((m,), jnp.uint8)], axis=0)
     val = jnp.where(rflag, rval, aval)
     rflag = rflag.astype(jnp.uint8)
 
@@ -142,8 +143,8 @@ def _resolve_scan(f, lit, deltas, idx_val, idx_found):
         rb, vb = bb
         return jnp.maximum(ra, rb), jnp.where(rb != 0, vb, va + vb)
 
-    rs, vs = jax.lax.associative_scan(combine, (rflag, val), axis=0)
-    return jnp.where(rs != 0, vs, _SEED[None, :] + vs)  # (M, 4) value-after
+    rs, vs = jax.lax.associative_scan(combine, (rflag, val), axis=1)
+    return jnp.where(rs != 0, vs, _SEED[:, None] + vs)  # (4, M) value-after
 
 
 @jax.jit
@@ -151,9 +152,16 @@ def _round_a(data, flags, pxa):
     """Fixpoint round, phase A (the big tensor families): hashes from the
     current value estimate -> table_select locals."""
     f = _unpack_flags(flags)
-    hashes = jnp.where(f["starts"], table.hash64(pxa), 0)
+    # channel-major hash/pack (pxa is (4, M))
+    hm = fmt.HASH_MULTIPLIERS
+    px32 = pxa.astype(jnp.int32)
+    hashes = jnp.where(
+        f["starts"],
+        (px32[0] * hm[0] + px32[1] * hm[1] + px32[2] * hm[2]
+         + px32[3] * hm[3]) & 63, 0)
     qk = jnp.where(f["is_index"], data.astype(jnp.int32) & 63, hashes)
-    packed = table.pack_rgba(pxa)
+    packed = (px32[0] | px32[1] << 8 | px32[2] << 16 | px32[3] << 24
+              ).astype(jnp.uint32)
     return table.table_select_local(hashes, packed, f["starts"], qk), qk
 
 
@@ -162,7 +170,7 @@ def _round_b(flags, lit, deltas, qk, local, pxa_prev):
     f = _unpack_flags(flags)
     idx_val, idx_found, _ = table.table_select_carry(local, qk)
     pxa = _resolve_scan(f, lit, deltas, idx_val, idx_found)
-    changed = jnp.sum((pxa != pxa_prev).any(axis=1).astype(jnp.int32))
+    changed = jnp.sum((pxa != pxa_prev).any(axis=0).astype(jnp.int32))
     return pxa, changed
 
 
@@ -174,7 +182,7 @@ def _decode_v2_device(data, chunks_len, n_px_cap: int):
     # round 0: resolve with INDEX treated as zero-entry copies
     pxa = _resolve_scan_jit(flags, lit, deltas,
                             jnp.zeros_like(lit, dtype=jnp.uint32),
-                            jnp.zeros_like(flags, dtype=bool))
+                            jnp.zeros_like(flags, dtype=bool))  # (4, M)
     converged = False
     for _ in range(_MAX_ROUNDS):
         local, qk = _round_a(data, flags, pxa)
@@ -204,9 +212,13 @@ def _expand(flags, pxa, npix, pix_off, n_px_cap: int):
     marks = jnp.full((n_px_cap,), -1, jnp.int32).at[
         jnp.where(f["starts"], pix_off, n_px_cap)].max(io, mode="drop")
     pixel_byte = jax.lax.cummax(marks)
-    out = jnp.where(pixel_byte[:, None] >= 0,
-                    pxa[jnp.maximum(pixel_byte, 0)], _SEED[None])
-    return out
+    idx = jnp.maximum(pixel_byte, 0)
+    ok = pixel_byte >= 0
+    # per-channel gathers from the channel-major planes
+    out = jnp.stack([
+        jnp.where(ok, pxa[c][idx], _SEED[c]) for c in range(4)
+    ], axis=0)
+    return out  # (4, n_px_cap)
 
 
 _expand_jit = _expand
@@ -232,5 +244,5 @@ def decode(data: bytes, channels: int = 0) -> Tuple[np.ndarray, fmt.StreamDesc]:
         v1.bucket_size(desc.num_pixels))
     if not converged:
         return v1.decode(data, channels)
-    img = np.asarray(jax.device_get(px4))[: desc.num_pixels, :out_ch]
+    img = np.asarray(jax.device_get(px4)).T[: desc.num_pixels, :out_ch]
     return img.reshape(desc.height, desc.width, out_ch), desc

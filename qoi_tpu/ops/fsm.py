@@ -38,6 +38,27 @@ def chunk_byte_len(b: jnp.ndarray) -> jnp.ndarray:
                   jnp.where(two_bit == fmt.OP_LUMA, 2, 1)))
 
 
+def _pack_map(f0):
+    """Pack the 5-state map [f0, 0, 1, 2, 3] into base-8 digits of one
+    int32: digit s holds f(s). Only state 0's transition depends on the
+    byte (s>0 always decrements), so one (M,) int32 array carries every
+    map — a (M, 5) layout would lane-pad 25x on TPU (PERF_NOTES.md)."""
+    const = 0
+    for s in range(1, _NSTATES):
+        const |= (s - 1) << (3 * s)
+    return f0.astype(jnp.int32) | const
+
+
+def _compose_maps(a, b):
+    """b after a: c[s] = b[a[s]], on base-8-packed maps (elementwise)."""
+    c = jnp.zeros_like(a)
+    for s in range(_NSTATES):
+        a_s = (a >> (3 * s)) & 7
+        b_of = (b >> (3 * a_s)) & 7
+        c = c | (b_of << (3 * s))
+    return c
+
+
 def chunk_starts(data: jnp.ndarray, chunks_len) -> jnp.ndarray:
     """Boolean chunk-start mask over the byte stream.
 
@@ -50,25 +71,11 @@ def chunk_starts(data: jnp.ndarray, chunks_len) -> jnp.ndarray:
     """
     m = data.shape[0]
     lens = chunk_byte_len(data)  # (M,)
+    trans = _pack_map(lens - 1)  # (M,) int32 packed maps
 
-    states = jnp.arange(_NSTATES, dtype=jnp.int8)
-    # trans[i, s]: state after byte i given state s before it
-    trans = jnp.where(
-        states[None, :] == 0,
-        (lens[:, None] - 1).astype(jnp.int8),
-        (states[None, :] - 1).astype(jnp.int8),
-    )  # (M, 5)
-
-    def compose(a, b):
-        """b after a: c[s] = b[a[s]] — 5-way select, VPU-friendly."""
-        c = jnp.zeros_like(a)
-        for k in range(_NSTATES):
-            c = jnp.where(a == k, b[..., k : k + 1], c)
-        return c
-
-    # inclusive scan -> state AFTER byte i, given initial state 0
-    after = jax.lax.associative_scan(compose, trans, axis=0)
-    state_after = after[:, 0]  # (M,) int8, start state 0
+    # inclusive scan -> composed map after byte i; state after = map[0]
+    after = jax.lax.associative_scan(_compose_maps, trans, axis=0)
+    state_after = (after & 7).astype(jnp.int8)  # start state 0 -> digit 0
     # state BEFORE byte i = state after byte i-1 (0 before byte 0)
     state_before = jnp.concatenate(
         [jnp.zeros((1,), jnp.int8), state_after[:-1]])
