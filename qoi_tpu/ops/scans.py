@@ -20,6 +20,52 @@ def exclusive_cumsum(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return inc - x
 
 
+def chunked_assoc_scan(combine, elems, seg: int = 1 << 16):
+    """Inclusive `associative_scan` over axis -1 of a pytree, hierarchical:
+    within-segment scans under `lax.map` + one small cross-segment scan +
+    an elementwise prefix application.
+
+    A flat `lax.associative_scan` over tens of millions of elements stalls
+    this platform's remote XLA compiler for >30 min (PERF_NOTES.md); the
+    chunked form keeps every compiled graph segment-sized. Semantically
+    identical for associative `combine`.
+    """
+    leaves = jax.tree.leaves(elems)
+    n = leaves[0].shape[-1]
+    if n <= seg * 2:
+        return jax.lax.associative_scan(combine, elems, axis=-1)
+    ns = -(-n // seg)
+    pad = ns * seg - n
+
+    def to_seg(x):
+        # pad by repeating the last element: padding never changes the
+        # prefix of real positions and keeps segment totals well-defined
+        x = jnp.concatenate([x, jnp.repeat(x[..., -1:], pad, axis=-1)], axis=-1)
+        return x.reshape(x.shape[:-1] + (ns, seg))
+
+    seg_elems = jax.tree.map(to_seg, elems)
+    # within-segment inclusive scans, one segment per lax.map step
+    moved = jax.tree.map(lambda x: jnp.moveaxis(x, -2, 0), seg_elems)
+    within = jax.lax.map(
+        lambda e: jax.lax.associative_scan(combine, e, axis=-1), moved)
+    totals = jax.tree.map(lambda x: x[..., -1], within)  # (ns, ...)
+    # exclusive cross-segment composition (tiny)
+    incl = jax.lax.associative_scan(combine, totals, axis=0)
+    # excl[0] is a placeholder (segment 0's raw scan is kept below)
+    excl = jax.tree.map(
+        lambda t, i: jnp.concatenate([t[:1], i[:-1]], axis=0), totals, incl)
+
+    prefixed = combine(
+        jax.tree.map(lambda e: jnp.expand_dims(e, -1), excl), within)
+    # segment 0 must keep its raw within-scan (no incoming prefix)
+    out = jax.tree.map(
+        lambda p, w: jnp.concatenate([w[:1], p[1:]], axis=0), prefixed, within)
+    back = jax.tree.map(
+        lambda x: jnp.moveaxis(x, 0, -2).reshape(
+            x.shape[1:-1] + (ns * seg,))[..., :n], out)
+    return back
+
+
 def last_true_index(mask: jnp.ndarray) -> jnp.ndarray:
     """For each i (last axis), the largest j <= i with mask[j], else -1."""
     n = mask.shape[-1]
