@@ -224,6 +224,53 @@ def _expand(flags, pxa, npix, pix_off, n_px_cap: int):
 _expand_jit = _expand
 
 
+@jax.jit
+def _fields_batch(data, chunks_len):
+    return jax.vmap(_fields)(data, chunks_len)
+
+
+@jax.jit
+def _resolve0_batch(flags, lit, deltas):
+    return jax.vmap(lambda f, l, d: _resolve_scan_jit(
+        f, l, d, jnp.zeros_like(l, dtype=jnp.uint32),
+        jnp.zeros_like(f, dtype=bool)))(flags, lit, deltas)
+
+
+@jax.jit
+def _round_a_batch(data, flags, pxa):
+    return jax.vmap(_round_a)(data, flags, pxa)
+
+
+@jax.jit
+def _round_b_batch(flags, lit, deltas, qk, local, pxa):
+    pxa2, changed = jax.vmap(_round_b)(flags, lit, deltas, qk, local, pxa)
+    return pxa2, jnp.sum(changed)
+
+
+@functools.partial(jax.jit, static_argnames=("n_px_cap",))
+def _expand_batch(flags, pxa, npix, pix_off, n_px_cap: int):
+    return jax.vmap(
+        lambda f, p, n, o: _expand(f, p, n, o, n_px_cap))(
+        flags, pxa, npix, pix_off)
+
+
+def decode_group(data: jnp.ndarray, chunks_len: jnp.ndarray, n_px_cap: int):
+    """Batched device decode for same-bucket streams. data: (B, M) uint8;
+    chunks_len: (B,) int32. Returns (pixels (B, 4, n_px_cap), converged
+    bool — rounds are idempotent per converged stream, so a group fixpoint
+    certifies every stream)."""
+    flags, lit, deltas, npix, pix_off = _fields_batch(data, chunks_len)
+    pxa = _resolve0_batch(flags, lit, deltas)
+    converged = False
+    for _ in range(_MAX_ROUNDS):
+        local, qk = _round_a_batch(data, flags, pxa)
+        pxa, changed = _round_b_batch(flags, lit, deltas, qk, local, pxa)
+        if int(jax.device_get(changed)) == 0:
+            converged = True
+            break
+    return _expand_batch(flags, pxa, npix, pix_off, n_px_cap), converged
+
+
 def decode(data: bytes, channels: int = 0) -> Tuple[np.ndarray, fmt.StreamDesc]:
     """Decode a QOI stream via the gather-free pipeline; pixel-identical to
     the reference decoder (qoi.h:488). Falls back to the v1 pipeline (which

@@ -53,6 +53,20 @@ def test_decode_batch_isolates_bad_streams():
     assert results[2][0] is None and results[2][2] is not None
 
 
+def test_decode_batch_noncanonical_in_group():
+    """A hand-crafted non-canonical stream rides in a batch next to
+    canonical ones; everything still matches the oracle."""
+    good = testimages.gradient(16, 4, 4)
+    s1 = oracle.encode(good, fmt.StreamDesc(16, 4, 4))
+    body = bytes([fmt.OP_INDEX | 5, fmt.OP_INDEX | 0, fmt.OP_RGB, 9, 9, 9,
+                  fmt.OP_RUN | 2] + [fmt.OP_RGBA, 1, 2, 3, 77] * 19)
+    s2 = fmt.pack_header(fmt.StreamDesc(9, 7, 4)) + body + fmt.TRAILER
+    for (out, desc, err), stream in zip(batch.decode_batch([s1, s2]), [s1, s2]):
+        assert err is None
+        want, _ = oracle.decode(stream)
+        np.testing.assert_array_equal(out, want)
+
+
 def test_decode_batch_channel_forcing():
     img = testimages.mixed(30, 20, 4)
     stream = oracle.encode(img, fmt.StreamDesc(30, 20, 4))
