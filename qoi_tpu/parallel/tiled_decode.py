@@ -48,15 +48,6 @@ _NSYM = 65  # symbol 0: incoming px; symbols 1..64: incoming table slot s-1
 _MAX_ITERS = 12
 
 
-def _compose_maps(maps):  # (S, 5) int8: exclusive prefix composition
-    def step(carry, m):  # carry: (5,) state map so far (applied first)
-        return jnp.take(m, carry, axis=0).astype(jnp.int8), carry
-
-    ident = jnp.arange(5, dtype=jnp.int8)
-    _, excl = jax.lax.scan(step, ident, maps)
-    return excl  # (S, 5): composition of maps[:k] for shard k
-
-
 def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     """data: (Mb,) local byte shard of the chunk stream (incl. trailer/pad
     in the last shard). Returns per-shard chunk-level decode results."""
@@ -66,26 +57,25 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     base_byte = ax * mb
     io = jnp.arange(mb, dtype=jnp.int32)
 
-    # ---- stage 1: tokenize via FSM map composition -----------------------
+    # ---- stage 1: tokenize via packed FSM map composition ----------------
+    # base-8-packed 5-state maps (ops/fsm.py): one int32 per byte — the
+    # (Mb, 5) layout lane-pads 25x on TPU (PERF_NOTES.md)
     lens_b = fsm.chunk_byte_len(data)
-    states = jnp.arange(5, dtype=jnp.int8)
-    trans = jnp.where(states[None, :] == 0,
-                      (lens_b[:, None] - 1).astype(jnp.int8),
-                      (states[None, :] - 1).astype(jnp.int8))
-
-    def compose(a, b):
-        c = jnp.zeros_like(a)
-        for k in range(5):
-            c = jnp.where(a == k, b[..., k : k + 1], c)
-        return c
-
-    incl = jax.lax.associative_scan(compose, trans, axis=0)  # (Mb, 5)
+    trans = fsm._pack_map(lens_b - 1)
+    incl = scans.chunked_assoc_scan(fsm._compose_maps, trans)  # (Mb,)
     local_map = incl[-1]
-    entry_maps = jax.lax.all_gather(local_map, axis)         # (S, 5)
-    entry_state = _compose_maps(entry_maps)[ax][0]           # scalar int8
-    state_after = jnp.take(incl, entry_state.astype(jnp.int32), axis=1)
+    entry_maps = jax.lax.all_gather(local_map, axis)           # (S,)
+
+    def estep(m, x):  # carry: packed map composed so far
+        return fsm._compose_maps(m, x), m
+
+    ident = fsm._pack_map(jnp.zeros((), jnp.int32))
+    _, excl_maps = jax.lax.scan(estep, ident, entry_maps)
+    entry_state = (excl_maps[ax] & 7).astype(jnp.int32)        # digit of state 0
+    # state after byte i given the shard's entry state: digit entry_state
+    state_after = (incl >> (3 * entry_state)) & 7
     state_before = jnp.concatenate(
-        [entry_state[None].astype(jnp.int8), state_after[:-1]])
+        [entry_state[None], state_after[:-1]])
     starts = (state_before == 0) & (base_byte + io < chunks_len)
 
     # ---- stage 2: local chunk records (halo covers cross-shard chunks) ---
