@@ -81,19 +81,27 @@ def main() -> None:
     bufs, totals = outs[0]
     totals_host = np.asarray([int(jax.device_get(t)) for _, t in outs])
     log(f"compile+first run: {time.perf_counter() - t0:.0f}s")
-    stream0 = (
-        fmt.pack_header(desc)
-        + np.asarray(jax.device_get(bufs))[: totals_host[0]].tobytes()
-        + fmt.TRAILER
-    )
+    # every timed frame must be byte-identical to the oracle; a mismatch
+    # aborts the bench (a correctness regression must not publish a number)
     try:
         from qoi_tpu import oracle
 
         if oracle.available():
-            if oracle.encode(frames[0], desc) != stream0:
-                log("WARNING: benchmark stream mismatches oracle encode")
-            else:
-                log("verified: byte-identical to oracle encode")
+            for i, (buf_i, _) in enumerate(outs):
+                stream_i = (
+                    fmt.pack_header(desc)
+                    + np.asarray(jax.device_get(buf_i))[: totals_host[i]].tobytes()
+                    + fmt.TRAILER
+                )
+                if oracle.encode(frames[i], desc) != stream_i:
+                    log(f"VERIFY FAILED: frame {i} mismatches oracle encode")
+                    print(json.dumps({
+                        "metric": "encode_4k_rgba_batch_throughput",
+                        "value": 0.0, "unit": "Mpx/s", "vs_baseline": 0.0,
+                        "verify_failed": True,
+                    }))
+                    sys.exit(1)
+            log(f"verified: all {BATCH} frames byte-identical to oracle encode")
     except Exception as e:  # pragma: no cover - bench must still report
         log(f"oracle verification skipped: {e}")
 

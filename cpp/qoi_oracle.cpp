@@ -66,9 +66,11 @@ bool desc_ok(const ImageDesc& d) {
   if (d.width == 0 || d.height == 0) return false;
   if (d.channels != 3 && d.channels != 4) return false;
   if (d.colorspace > 1) return false;
-  // Overflow-safe pixel-count cap (reference guard qoi.h:369 uses
-  // height >= MAX/width; equivalent rejection set for w,h > 0).
-  if (uint64_t(d.width) * uint64_t(d.height) >= kMaxPixels) return false;
+  // Pixel-count cap exactly as the reference computes it (qoi.h:369,518):
+  // height >= MAX / width with INTEGER division — not the product. The two
+  // differ when MAX % width != 0 (e.g. w=3, h=133333333: product is
+  // 399,999,999 < MAX yet the reference rejects).
+  if (uint64_t(d.height) >= kMaxPixels / d.width) return false;
   return true;
 }
 

@@ -150,20 +150,32 @@ def run_job(
 
 def allreduce_counters(counters: Counters) -> Counters:
     """Sum counters across hosts when a jax.distributed runtime is up;
-    identity on a single host (SURVEY §5.8: one final psum of counters)."""
+    identity on a single host (SURVEY §5.8: one final psum of counters).
+
+    Counters are shipped as (hi, lo) int32 halves of int64 values so the
+    sum is exact without `jax_enable_x64` (float32 would corrupt large
+    pixel/byte counts; ns timers are integral by construction)."""
     import jax
 
     if jax.process_count() == 1:
         return counters
-    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
 
-    vec = jnp.asarray([
+    raw = [
         counters.images, counters.pixels, counters.raw_bytes,
-        counters.qoi_bytes, counters.encode_ns, counters.decode_ns,
+        counters.qoi_bytes, int(counters.encode_ns), int(counters.decode_ns),
         counters.verify_failures,
-    ], jnp.float64)
-    summed = jax.experimental.multihost_utils.process_allgather(vec).sum(0)
-    vals = [int(v) for v in summed[:4]] + [float(summed[4]), float(summed[5]), int(summed[6])]
+    ]
+    halves = np.array(
+        [[v >> 31, v & 0x7FFFFFFF] for v in raw], np.int32)  # (7, 2)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(halves))  # (P, 7, 2)
+    totals = [
+        int(sum((int(row[0]) << 31) + int(row[1]) for row in gathered[:, k]))
+        for k in range(len(raw))
+    ]
+    vals = totals[:4] + [float(totals[4]), float(totals[5]), totals[6]]
     return Counters(*vals)
 
 

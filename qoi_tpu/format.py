@@ -68,8 +68,14 @@ class StreamDesc:
             raise ValueError(f"channels must be 3 or 4, got {self.channels}")
         if self.colorspace not in (SRGB, LINEAR):
             raise ValueError(f"bad colorspace {self.colorspace}")
-        if self.num_pixels >= PIXELS_MAX:
-            raise ValueError(f"{self.num_pixels} pixels exceeds cap {PIXELS_MAX}")
+        # The reference rejects with integer division (qoi.h:369,518):
+        # height >= QOI_PIXELS_MAX / width — NOT num_pixels >= PIXELS_MAX.
+        # E.g. width=3, height=133333333 (399,999,999 px) is rejected by the
+        # reference even though the product is below the cap.
+        if self.height >= PIXELS_MAX // self.width:
+            raise ValueError(
+                f"height {self.height} >= {PIXELS_MAX} // {self.width} "
+                f"(reference pixel-count guard)")
 
     def max_stream_bytes(self) -> int:
         """Worst-case encoded size (reference qoi.h:374-376)."""

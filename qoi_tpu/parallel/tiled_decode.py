@@ -174,7 +174,6 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
         # symbolic parents: local node, or symbol (extra node)
         # extra nodes: 0 -> incoming px, 1+s -> incoming table slot s
         tgt_local = target - gid_base
-        idx_sym = jnp.where(target < 0, -2, jnp.where(tgt_local >= 0, tgt_local, f["b1"] & 63))
         # parent per chunk: INDEX -> target/symbol; else previous chunk
         prev_loc = io - 1  # -1 -> symbol PX (extra node 0 = mb)
         parent1 = jnp.where(

@@ -49,3 +49,36 @@ def test_hash_function():
 
 def test_trailer():
     assert fmt.TRAILER == bytes([0, 0, 0, 0, 0, 0, 0, 1])
+
+
+def test_pixel_cap_integer_division_parity():
+    """The reference rejects height >= PIXELS_MAX / width with INTEGER
+    division (qoi.h:369,518): w=3, h=133333333 has 399,999,999 pixels —
+    below the product cap — yet must be rejected."""
+    w, h = 3, 133_333_333
+    assert w * h < fmt.PIXELS_MAX
+    with pytest.raises(ValueError):
+        fmt.StreamDesc(w, h, 4).validate()
+    # one row fewer is accepted (399,999,996 px)
+    fmt.StreamDesc(w, h - 1, 4).validate()
+    # width=1 keeps the full cap: 399,999,999 rows accepted, 400M rejected
+    fmt.StreamDesc(1, fmt.PIXELS_MAX - 1, 4).validate()
+    with pytest.raises(ValueError):
+        fmt.StreamDesc(1, fmt.PIXELS_MAX, 4).validate()
+
+
+def test_pixel_cap_header_rejection_parity_with_oracle():
+    """Near-cap header rejection must agree with the C++ oracle
+    (header-validation only; no pixel allocation on the reject path)."""
+    import struct
+
+    from qoi_tpu import oracle
+
+    if not oracle.available():
+        pytest.skip("oracle unavailable")
+    hdr = fmt.MAGIC + struct.pack(">IIBB", 3, 133_333_333, 4, 0)
+    stream = hdr + fmt.TRAILER
+    with pytest.raises(ValueError):
+        fmt.unpack_header(stream)
+    with pytest.raises(ValueError):
+        oracle.decode(stream)  # oracle rejects the same header
