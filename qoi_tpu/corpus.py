@@ -102,7 +102,7 @@ def run_job(
 ) -> Counters:
     """Run (or resume) a corpus job over this shard's files."""
     from . import format as fmt, io as qio
-    from .models import decode_v2 as decode_pipeline, pipeline
+    from .models import decode_v3 as decode_pipeline, pipeline
 
     files = shard_files(pathlib.Path(root), shard, num_shards)
     ck = Checkpoint.load(checkpoint_path) if checkpoint_path else None

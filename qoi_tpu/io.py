@@ -18,9 +18,9 @@ from . import format as fmt
 
 def _engine(name: str):
     if name == "tpu":
-        from .models import decode_v2, pipeline
+        from .models import decode_v3, pipeline
 
-        return pipeline.encode, decode_v2.decode
+        return pipeline.encode, decode_v3.decode
     if name == "scan":
         from .models import scan_codec
 

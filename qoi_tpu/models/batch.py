@@ -23,7 +23,7 @@ import numpy as np
 
 from .. import format as fmt
 from ..ops import compact
-from . import decode_pipeline, decode_v2, pipeline
+from . import decode_pipeline, decode_v3, pipeline
 
 
 @jax.jit
@@ -127,16 +127,18 @@ def decode_batch(
             body = np.frombuffer(streams[i], np.uint8)[fmt.HEADER_SIZE:]
             data[row, : body.shape[0]] = body
             clens[row] = len(streams[i]) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
-        px, conv = decode_v2.decode_group(
+        px32, conv = decode_v3.decode_group(
             jnp.asarray(data), jnp.asarray(clens), npc)
-        px = np.asarray(jax.device_get(px))  # (B, 4, npc) channel-major
+        px32 = np.asarray(jax.device_get(px32))  # (B, npc) packed u32
+        conv = np.asarray(jax.device_get(conv))  # (B,) per-stream
         for row, i in enumerate(idxs):
             d = parsed[i]
             out_ch = channels if channels else d.channels
-            if conv:
-                img = px[row].T[: d.num_pixels, :out_ch].reshape(
+            if conv[row]:
+                img = decode_v3.unpack_px32(px32[row])[
+                    : d.num_pixels, :out_ch].reshape(
                     d.height, d.width, out_ch)
-            else:  # adversarial stream in the group: certified fallback
+            else:  # adversarial stream: certified fallback
                 img, _ = decode_pipeline.decode(streams[i], channels)
             results[i] = (img, d, None)
     return results

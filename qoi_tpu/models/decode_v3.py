@@ -1,0 +1,412 @@
+"""Blocked symbolic state-machine decoder (v3) — the TPU-fast decode path.
+
+The reference decoder (qoi.h:488-590) is a sequential recurrence on the
+state S = (px, index[64]) — 65 pixel values. The key reformulation here:
+once each chunk's WRITTEN table slot w = hash-after-chunk is known, every
+chunk is a static *affine-selection transform* of S:
+
+    px' = select(op) in { px + d          (RUN d=0, DIFF, LUMA)
+                        , (lit.rgb, px.a) (RGB)
+                        , lit             (RGBA)
+                        , S[1 + r]        (INDEX, r = b1 & 63) }
+    S'[0] = px';  S'[1 + w] = px'         (the qoi.h:577 store, incl. the
+                                           RUN-at-start seed store)
+
+Such transforms compose associatively (selector composition + delta
+accumulation), so the whole decode is one scan — INDEX chains of ANY
+depth resolve in a single pass, unlike v2's per-hop value fixpoint.
+
+Written slots come from the gather-free affine hash scan (hash is linear
+mod 64 because 64 | 256; INDEX writes its own read slot by the table
+invariant index[hash(p)] == p, reference qoi.h:577). That estimate is
+exact for streams whose alpha at RGB chunks matches the last RGBA
+literal and whose INDEX ops hit written slots; a device-side fixpoint
+(w_{k+1} = hash(px_k)) certifies exactness and re-runs otherwise — the
+same certificate as v1/v2, but the resolve inside each round is exact
+given w, so canonical 3-channel streams converge in ONE round.
+
+Execution (all gather-free except one packed u32 gather in run
+expansion):
+
+  pass 1  vmapped lax.scan over position-in-block (lanes = blocks):
+          per-block symbolic 65-entry map, per-channel (root, delta)
+          SWAR-packed in uint32 (root 0 = entry px, 1+s = entry slot s,
+          65 = absolute)
+  pass 2  associative compose of block maps + application to the seed
+          state -> numeric 65-entry state at every block boundary
+  pass 3  numeric re-scan emits the exact px after every chunk
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import format as fmt
+from ..ops import fsm, scans
+from . import decode_pipeline as v1
+
+_SEED = jnp.array(fmt.SEED_PIXEL, dtype=jnp.uint8)
+_SEED32 = np.uint32(
+    fmt.SEED_PIXEL[0] | fmt.SEED_PIXEL[1] << 8
+    | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24)
+_SEED_HASH = fmt.hash_rgba(*fmt.SEED_PIXEL)
+_ABS = 65  # per-channel root symbol: absolute value (no entry dependence)
+_MAX_ROUNDS = 12
+
+# op classes (cls field): 0 identity (non-chunk byte), 1 additive
+# (RUN d=0 / DIFF / LUMA), 2 RGB, 3 RGBA, 4 INDEX
+_CLS_ID, _CLS_ADD, _CLS_RGB, _CLS_RGBA, _CLS_INDEX = range(5)
+
+
+def _swar_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-byte mod-256 add of 4x-u8-packed uint32 lanes (no cross-byte
+    carry: the masked halves keep carries in the zero gaps)."""
+    m2 = jnp.uint32(0xFF00FF00)
+    lo = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    hi = ((a & m2) + (b & m2)) & m2
+    return lo | hi
+
+
+def _hash_packed(px32: jnp.ndarray) -> jnp.ndarray:
+    """(3r + 5g + 7b + 11a) & 63 from packed uint32 (reference qoi.h:92)."""
+    p = px32.astype(jnp.uint32)
+    m = fmt.HASH_MULTIPLIERS
+    h = (m[0] * (p & 0xFF) + m[1] * ((p >> 8) & 0xFF)
+         + m[2] * ((p >> 16) & 0xFF) + m[3] * ((p >> 24) & 0xFF))
+    return (h & 63).astype(jnp.int32)
+
+
+def _shift_up(x, k):
+    pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x[k:], pad], axis=0)
+
+
+def _fields(data: jnp.ndarray, chunks_len: jnp.ndarray):
+    """Per-byte chunk fields from shifted arrays (no gathers). data: (M,)
+    uint8. Returns cls, r6, d32, lit32, npix (all (M,) int32/uint32)."""
+    starts = fsm.chunk_starts(data, chunks_len)
+    d1 = data.astype(jnp.int32)
+    b2 = _shift_up(data, 1).astype(jnp.uint32)
+    b3 = _shift_up(data, 2).astype(jnp.uint32)
+    b4 = _shift_up(data, 3).astype(jnp.uint32)
+    b5 = _shift_up(data, 4).astype(jnp.uint32)
+
+    is_rgb = (d1 == fmt.OP_RGB) & starts
+    is_rgba = (d1 == fmt.OP_RGBA) & starts
+    two = d1 & fmt.MASK_2
+    other = ~is_rgb & ~is_rgba & starts
+    is_index = other & (two == fmt.OP_INDEX)
+    is_diff = other & (two == fmt.OP_DIFF)
+    is_luma = other & (two == fmt.OP_LUMA)
+    is_run = other & (two == fmt.OP_RUN)
+
+    cls = jnp.where(is_rgb, _CLS_RGB,
+          jnp.where(is_rgba, _CLS_RGBA,
+          jnp.where(is_index, _CLS_INDEX,
+          jnp.where(is_diff | is_luma | is_run, _CLS_ADD, _CLS_ID))))
+    r6 = jnp.where(is_index, d1 & 63, 0)
+    npix = jnp.where(is_run, (d1 & 0x3F) + 1,
+                     starts.astype(jnp.int32))
+
+    # mod-256 deltas as the decoder applies them (reference qoi.h:562-572)
+    dr = jnp.where(is_diff, ((d1 >> 4) & 3) - 2, 0)
+    dg2 = jnp.where(is_diff, ((d1 >> 2) & 3) - 2, 0)
+    db = jnp.where(is_diff, (d1 & 3) - 2, 0)
+    vg = (d1 & 0x3F) - 32
+    lr = vg - 8 + ((b2.astype(jnp.int32) >> 4) & 0x0F)
+    lb = vg - 8 + (b2.astype(jnp.int32) & 0x0F)
+    dr = jnp.where(is_luma, lr, dr) & 0xFF
+    dg = jnp.where(is_luma, vg, dg2) & 0xFF
+    db = jnp.where(is_luma, lb, db) & 0xFF
+    d32 = (dr | dg << 8 | db << 16).astype(jnp.uint32)
+    lit32 = b2 | b3 << 8 | b4 << 16 | b5 << 24
+    return starts, cls, r6, d32, lit32, npix
+
+
+def _initial_w(cls, r6, d32, lit32):
+    """Optimistic per-byte written-slot estimate: reset-or-add affine scan
+    mod 64 (v1's _initial_hashes at byte granularity, gather-free). The
+    RGB reset uses the last RGBA literal's alpha — exact unless an INDEX
+    changed alpha in between (fixpoint-corrected)."""
+    m3, m5, m7, m11 = fmt.HASH_MULTIPLIERS
+    is_rgba = cls == _CLS_RGBA
+    b2 = (lit32 & 0xFF).astype(jnp.int32)
+    b3 = ((lit32 >> 8) & 0xFF).astype(jnp.int32)
+    b4 = ((lit32 >> 16) & 0xFF).astype(jnp.int32)
+    b5 = ((lit32 >> 24) & 0xFF).astype(jnp.int32)
+
+    # alpha estimate after each byte: overwrite scan of RGBA literals
+    af = is_rgba.astype(jnp.uint8)
+    av = jnp.where(is_rgba, b5, 0).astype(jnp.int32)
+
+    def acomb(a, b):
+        fa, va = a
+        fb, vb = b
+        return jnp.maximum(fa, fb), jnp.where(fb != 0, vb, va)
+
+    afs, avs = scans.chunked_assoc_scan(acomb, (af, av))
+    alpha_after = jnp.where(afs != 0, avs, 255)
+    alpha_before = jnp.concatenate(
+        [jnp.full((1,), 255, jnp.int32), alpha_after[:-1]])
+
+    reset_val = jnp.where(
+        is_rgba, (m3 * b2 + m5 * b3 + m7 * b4 + m11 * b5) & 63,
+        jnp.where(cls == _CLS_RGB,
+                  (m3 * b2 + m5 * b3 + m7 * b4 + m11 * alpha_before) & 63,
+                  r6))  # INDEX: table invariant => writes its read slot
+    is_reset = (cls == _CLS_RGB) | is_rgba | (cls == _CLS_INDEX)
+    add_val = jnp.where(
+        cls == _CLS_ADD,
+        (m3 * (d32 & 0xFF).astype(jnp.int32)
+         + m5 * ((d32 >> 8) & 0xFF).astype(jnp.int32)
+         + m7 * ((d32 >> 16) & 0xFF).astype(jnp.int32)) & 63, 0)
+
+    r = is_reset.astype(jnp.int32)
+    v = jnp.where(is_reset, reset_val, add_val)
+
+    def hcomb(a, b):
+        ra, va = a
+        rb, vb = b
+        return rb | ra, jnp.where(rb != 0, vb, (va + vb) & 63)
+
+    rs, vs = scans.chunked_assoc_scan(hcomb, (r, v))
+    return jnp.where(rs != 0, vs, (vs + _SEED_HASH) & 63)
+
+
+def _step_common(rec, px_root, px_val, src_root, src_val):
+    """New px entry (root, val) for one scan step. rec: (meta, d32, lit32),
+    all (nb,)."""
+    meta, d32, lit32 = rec
+    cls = meta & 7
+    addv = _swar_add(px_val, d32)
+    rgbv = (lit32 & 0x00FFFFFF) | (px_val & jnp.uint32(0xFF000000))
+    new_val = jnp.where(cls == _CLS_ADD, addv,
+              jnp.where(cls == _CLS_RGB, rgbv,
+              jnp.where(cls == _CLS_RGBA, lit32,
+              jnp.where(cls == _CLS_INDEX, src_val, px_val))))
+    if px_root is None:
+        return None, new_val
+    rgbr = (px_root & jnp.uint32(0xFF000000)) | 0x00414141  # rgb ABS, a flows
+    new_root = jnp.where(cls == _CLS_ADD, px_root,
+               jnp.where(cls == _CLS_RGB, rgbr,
+               jnp.where(cls == _CLS_RGBA, jnp.uint32(0x41414141),
+               jnp.where(cls == _CLS_INDEX, src_root, px_root))))
+    return new_root, new_val
+
+
+def _select_row(rows, idx, plane):
+    """plane[idx[n], n] without a gather: one-hot masked sum over the
+    (tiny) 65-row axis. rows: (65, 1) iota; idx: (nb,); plane: (65, nb)."""
+    sel = rows == idx[None, :]
+    return jnp.sum(jnp.where(sel, plane, 0), axis=0,
+                   dtype=plane.dtype)
+
+
+def _write_mask(rows, meta):
+    cls = meta & 7
+    w = (meta >> 3) & 63
+    return ((rows == 0) | (rows == 1 + w[None, :])) & (cls != _CLS_ID)[None, :]
+
+
+def _block_maps(meta, d32, lit32, nb: int, b: int):
+    """Pass 1: per-block symbolic 65-entry maps. Inputs are (B, nb)
+    position-major records. Returns (root (65, nb), val (65, nb)) uint32."""
+    rows = jnp.arange(65, dtype=jnp.int32)[:, None]
+    root0 = jnp.broadcast_to(
+        (rows.astype(jnp.uint32) * jnp.uint32(0x01010101)), (65, nb))
+    val0 = jnp.zeros((65, nb), jnp.uint32)
+
+    def step(state, rec):
+        root, val = state
+        meta_i = rec[0]
+        r6 = (meta_i >> 9) & 63
+        src_root = _select_row(rows, 1 + r6, root)
+        src_val = _select_row(rows, 1 + r6, val)
+        new_root, new_val = _step_common(
+            rec, root[0], val[0], src_root, src_val)
+        mask = _write_mask(rows, meta_i)
+        return (jnp.where(mask, new_root[None, :], root),
+                jnp.where(mask, new_val[None, :], val)), None
+
+    (root, val), _ = jax.lax.scan(step, (root0, val0), (meta, d32, lit32))
+    return root, val
+
+
+def _compose_entry_states(root, val, nb: int):
+    """Pass 2: inclusive associative compose of block maps (per-channel
+    one-hot lookups over the 65-entry axis), then application to the seed
+    state -> packed numeric 65-entry state at every block ENTRY."""
+    # unpack per channel: (4, 65, nb) int32
+    shifts = jnp.array([0, 8, 16, 24], jnp.uint32)[:, None, None]
+    rc = ((root[None] >> shifts) & 0xFF).astype(jnp.int32)
+    vc = ((val[None] >> shifts) & 0xFF).astype(jnp.int32)
+    k = jnp.arange(65, dtype=jnp.int32)
+
+    def comb(a, bb):
+        ar, av = a
+        br, bv = bb
+        onehot = br[:, :, None, :] == k[None, None, :, None]
+        lr = jnp.sum(jnp.where(onehot, ar[:, None, :, :], 0), axis=2)
+        lv = jnp.sum(jnp.where(onehot, av[:, None, :, :], 0), axis=2)
+        is_abs = br == _ABS
+        return (jnp.where(is_abs, _ABS, lr),
+                jnp.where(is_abs, bv, (lv + bv) & 0xFF))
+
+    rs, vs = scans.chunked_assoc_scan(comb, (rc, vc), seg=1 << 11)
+
+    # apply to the initial state: entry px = seed, slots = 0
+    seed_c = jnp.array(fmt.SEED_PIXEL, jnp.int32)[:, None, None]
+    applied = jnp.where(rs == _ABS, vs,
+                        jnp.where(rs == 0, (vs + seed_c) & 0xFF, vs))
+    init_col = jnp.concatenate(
+        [seed_c[:, :, 0], jnp.zeros((4, 64), jnp.int32)], axis=1)[:, :, None]
+    entry = jnp.concatenate([init_col, applied[:, :, :-1]], axis=2)
+    packed = (entry[0].astype(jnp.uint32)
+              | entry[1].astype(jnp.uint32) << 8
+              | entry[2].astype(jnp.uint32) << 16
+              | entry[3].astype(jnp.uint32) << 24)
+    return packed  # (65, nb)
+
+
+def _numeric_scan(meta, d32, lit32, entry, nb: int):
+    """Pass 3: numeric re-scan from per-block entry states; emits the px
+    value after every byte position. Returns (B, nb) uint32."""
+    rows = jnp.arange(65, dtype=jnp.int32)[:, None]
+
+    def step(val, rec):
+        meta_i = rec[0]
+        r6 = (meta_i >> 9) & 63
+        src_val = _select_row(rows, 1 + r6, val)
+        _, new_val = _step_common(rec, None, val[0], None, src_val)
+        mask = _write_mask(rows, meta_i)
+        val2 = jnp.where(mask, new_val[None, :], val)
+        return val2, val2[0]
+
+    _, px = jax.lax.scan(step, entry, (meta, d32, lit32))
+    return px
+
+
+def _scan_block_len(m: int) -> int:
+    """Static scan length B (positions per block): keeps lane width nb =
+    m / B wide enough for the VPU while bounding sequential steps."""
+    b = 16
+    while b < 512 and b * 64 <= m:
+        b <<= 1
+    return b
+
+
+def _resolve(cls, r6, w, d32, lit32, m: int, b: int):
+    """One full symbolic resolve given written slots w. Returns px32 (M,)
+    uint32: the decoder's px value after every byte position."""
+    nb = m // b
+    meta = (cls | (w << 3) | (r6 << 9)).astype(jnp.int32)
+
+    def pos_major(x):  # (M,) -> (B, nb): position i of block k at [i, k]
+        return x.reshape(nb, b).T
+
+    meta_p, d32_p, lit32_p = pos_major(meta), pos_major(d32), pos_major(lit32)
+    root, val = _block_maps(meta_p, d32_p, lit32_p, nb, b)
+    entry = _compose_entry_states(root, val, nb)
+    px = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
+    return px.T.reshape(m)
+
+
+def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
+                 max_rounds: int = _MAX_ROUNDS):
+    """Full chunk-level decode to per-byte px values + bookkeeping.
+    Returns (px32 (M,) u32, starts, npix, pix_off, converged, rounds)."""
+    m = data.shape[0]
+    b = _scan_block_len(m)
+    starts, cls, r6, d32, lit32, npix = _fields(data, chunks_len)
+    pix_off = scans.exclusive_cumsum(npix)
+    w0 = jnp.where(starts, _initial_w(cls, r6, d32, lit32), 0)
+
+    def body(state):
+        w, _, _, it = state
+        px = _resolve(cls, r6, w, d32, lit32, m, b)
+        true_w = jnp.where(starts, _hash_packed(px), 0)
+        conv = jnp.all(true_w == w)
+        return true_w, px, conv, it + 1
+
+    def cond(state):
+        _, _, conv, it = state
+        return ~conv & (it < max_rounds)
+
+    px0 = jnp.zeros((m,), jnp.uint32)
+    w, px, conv, rounds = jax.lax.while_loop(
+        cond, body, (w0, px0, jnp.bool_(False), jnp.int32(0)))
+    return px, starts, npix, pix_off, conv, rounds
+
+
+def _expand_packed(starts, px32, pix_off, n_px_cap: int):
+    """Run expansion: chunk boundary marks + cummax + ONE packed-u32
+    gather. Truncation-tolerant: pixels before any chunk keep the seed,
+    pixels past the last chunk repeat its px (reference qoi.h:544)."""
+    m = starts.shape[0]
+    io = jnp.arange(m, dtype=jnp.int32)
+    marks = jnp.full((n_px_cap,), -1, jnp.int32).at[
+        jnp.where(starts, pix_off, n_px_cap)].max(io, mode="drop")
+    pixel_byte = jax.lax.cummax(marks)
+    vals = px32[jnp.maximum(pixel_byte, 0)]
+    return jnp.where(pixel_byte >= 0, vals, jnp.uint32(_SEED32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_px_cap", "max_rounds"))
+def _decode_device(data, chunks_len, n_px_cap: int,
+                   max_rounds: int = _MAX_ROUNDS):
+    px, starts, npix, pix_off, conv, rounds = _decode_core(
+        data, chunks_len, max_rounds)
+    out = _expand_packed(starts, px, pix_off, n_px_cap)
+    return out, conv, rounds
+
+
+@functools.partial(jax.jit, static_argnames=("n_px_cap", "max_rounds"))
+def _decode_device_batch(data, chunks_len, n_px_cap: int,
+                         max_rounds: int = _MAX_ROUNDS):
+    return jax.vmap(
+        lambda d, c: _decode_device(d, c, n_px_cap, max_rounds)
+    )(data, chunks_len)
+
+
+def unpack_px32(px32: np.ndarray) -> np.ndarray:
+    """(..., N) uint32 -> (..., N, 4) uint8 rgba (little-endian layout)."""
+    return np.ascontiguousarray(px32).view(np.uint8).reshape(
+        px32.shape + (4,))
+
+
+def decode_group(data: jnp.ndarray, chunks_len: jnp.ndarray, n_px_cap: int):
+    """Batched device decode for same-bucket streams. data: (B, M) uint8;
+    chunks_len: (B,) int32. Returns (px32 (B, n_px_cap) uint32, converged
+    (B,) bool)."""
+    out, conv, _ = _decode_device_batch(data, chunks_len, n_px_cap)
+    return out, conv
+
+
+def decode(data: bytes, channels: int = 0) -> Tuple[np.ndarray, fmt.StreamDesc]:
+    """Decode a QOI stream via the blocked symbolic pipeline;
+    pixel-identical to the reference decoder (qoi.h:488). Falls back to
+    the v1 pipeline (which itself falls back to the sequential anchor) on
+    fixpoint non-convergence."""
+    if channels not in (0, 3, 4):
+        raise ValueError(f"channels must be 0, 3 or 4, got {channels}")
+    desc = fmt.unpack_header(data)
+    out_ch = channels if channels else desc.channels
+
+    chunks = np.frombuffer(data, dtype=np.uint8)[fmt.HEADER_SIZE:]
+    chunks_len = len(data) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
+    cap = v1.bucket_size(len(chunks))
+    padded = np.zeros((cap,), np.uint8)
+    padded[: len(chunks)] = chunks
+
+    px32, conv, _ = _decode_device(
+        jnp.asarray(padded), jnp.int32(chunks_len),
+        v1.bucket_size(desc.num_pixels))
+    if not bool(jax.device_get(conv)):
+        return v1.decode(data, channels)
+    img = unpack_px32(np.asarray(jax.device_get(px32)))[
+        : desc.num_pixels, :out_ch]
+    return img.reshape(desc.height, desc.width, out_ch), desc

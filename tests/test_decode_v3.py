@@ -1,0 +1,125 @@
+"""Blocked symbolic decoder (v3) vs the C++ oracle: the same coverage
+classes as v1/v2 plus cases specific to the v3 formulation — deep INDEX
+chains (which v3 resolves in one pass, no per-hop fixpoint) and the
+alpha-through-INDEX hash-estimate correction."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import qoi_tpu.format as fmt
+from qoi_tpu import oracle
+from qoi_tpu.models import decode_pipeline as v1, decode_v3
+from qoi_tpu.utils import testimages
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+
+
+def _roundtrip(img: np.ndarray) -> None:
+    h, w, ch = img.shape
+    stream = oracle.encode(img, fmt.StreamDesc(w, h, ch))
+    got, gdesc = decode_v3.decode(stream)
+    want, wdesc = oracle.decode(stream)
+    assert gdesc == wdesc
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("name", sorted(testimages.edge_case_suite(4)))
+def test_v3_edge_cases_rgba(name):
+    _roundtrip(testimages.edge_case_suite(4)[name])
+
+
+@pytest.mark.parametrize("name", ["gradient", "palette", "mixed", "noise_small"])
+def test_v3_edge_cases_rgb(name):
+    _roundtrip(testimages.edge_case_suite(3)[name])
+
+
+def test_v3_deep_index_chains_one_round():
+    """A long palette cycle builds INDEX->INDEX reference chains far deeper
+    than any fixpoint cap; the symbolic scan must resolve them in ONE
+    round (the convergence certificate is over written slots, not values)."""
+    img = testimages.palette(512, 16, 4, colors=12, seed=13)
+    h, w, ch = img.shape
+    stream = oracle.encode(img, fmt.StreamDesc(w, h, ch))
+    chunks = np.frombuffer(stream, np.uint8)[fmt.HEADER_SIZE:]
+    cap = v1.bucket_size(len(chunks))
+    pad = np.zeros((cap,), np.uint8)
+    pad[: len(chunks)] = chunks
+    px32, conv, rounds = decode_v3._decode_device(
+        jnp.asarray(pad), np.int32(len(stream) - 22), v1.bucket_size(w * h))
+    assert bool(conv) and int(rounds) == 1
+    got = decode_v3.unpack_px32(np.asarray(px32))[: w * h]
+    want, _ = oracle.decode(stream)
+    np.testing.assert_array_equal(got.reshape(h, w, 4), want)
+
+
+def test_v3_index_alpha_then_rgb_fixpoint():
+    """INDEX restoring an old alpha followed by RGB breaks the optimistic
+    written-slot estimate; the hash fixpoint must correct it."""
+    px = np.zeros((64, 4), np.uint8)
+    px[:, 3] = 255
+    px[0] = (1, 1, 1, 50)
+    px[1] = (200, 9, 9, 50)
+    px[2] = (3, 3, 3, 99)
+    px[3] = (1, 1, 1, 50)     # INDEX hit -> alpha 50 != last RGBA literal
+    px[4] = (90, 90, 90, 50)  # RGB whose hash uses INDEX-carried alpha
+    px[5:] = px[4]
+    _roundtrip(px.reshape(1, 64, 4))
+
+
+def test_v3_truncation_and_channel_forcing():
+    img = testimages.mixed(40, 30, 4)
+    full = oracle.encode(img, fmt.StreamDesc(40, 30, 4))
+    cut = full[: fmt.HEADER_SIZE + 11] + fmt.TRAILER
+    got, _ = decode_v3.decode(cut)
+    want, _ = oracle.decode(cut)
+    np.testing.assert_array_equal(got, want)
+    for ch in (0, 3, 4):
+        got, _ = decode_v3.decode(full, ch)
+        want, _ = oracle.decode(full, ch)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_v3_noncanonical_streams():
+    """INDEX into unwritten slots; RUN at stream start (seed table store,
+    qoi.h:577)."""
+    for body in (
+        bytes([fmt.OP_INDEX | 5, fmt.OP_INDEX | 0, fmt.OP_INDEX | 63,
+               fmt.OP_RGB, 9, 9, 9]),
+        # RUN first: stores the seed at slot 53; INDEX 53 then reads it
+        bytes([fmt.OP_RUN | 1, fmt.OP_RGB, 7, 7, 7, fmt.OP_INDEX | 53]),
+    ):
+        n = 4
+        data = fmt.pack_header(fmt.StreamDesc(n, 1, 4)) + body + fmt.TRAILER
+        got, _ = decode_v3.decode(data)
+        want, _ = oracle.decode(data)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_v3_batch_group():
+    imgs = [testimages.mixed(48, 32, 4, seed=i) for i in range(3)]
+    streams = [oracle.encode(im, fmt.StreamDesc(48, 32, 4)) for im in imgs]
+    cap = v1.bucket_size(max(len(s) - fmt.HEADER_SIZE for s in streams))
+    data = np.zeros((3, cap), np.uint8)
+    clens = np.zeros((3,), np.int32)
+    for i, s in enumerate(streams):
+        body = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+        data[i, : len(body)] = body
+        clens[i] = len(s) - 22
+    px32, conv = decode_v3.decode_group(
+        jnp.asarray(data), jnp.asarray(clens), v1.bucket_size(48 * 32))
+    assert bool(np.all(np.asarray(conv)))
+    for i, im in enumerate(imgs):
+        got = decode_v3.unpack_px32(np.asarray(px32[i]))[: 48 * 32]
+        np.testing.assert_array_equal(got.reshape(32, 48, 4), im)
+
+
+def test_v3_random_roundtrips():
+    rng = np.random.default_rng(7)
+    for t in range(8):
+        w = int(rng.integers(1, 90))
+        h = int(rng.integers(1, 40))
+        ch = int(rng.choice([3, 4]))
+        img = testimages.palette(w, h, ch, colors=int(rng.integers(2, 20)),
+                                 seed=int(rng.integers(1 << 30)))
+        _roundtrip(img)

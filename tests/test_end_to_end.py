@@ -5,7 +5,8 @@ import pytest
 
 import qoi_tpu.format as fmt
 from qoi_tpu import oracle
-from qoi_tpu.models import batch, decode_pipeline, decode_v2, pipeline, scan_codec, streamed
+from qoi_tpu.models import (batch, decode_pipeline, decode_v2, decode_v3,
+                            pipeline, scan_codec, streamed)
 from qoi_tpu.parallel import sharding, tiled, tiled_decode
 from qoi_tpu.utils import testimages
 
@@ -37,6 +38,7 @@ def test_engine_matrix(ch):
 
     ref_px, _ = oracle.decode(ref_stream)
     decoders = {
+        "v3": lambda: decode_v3.decode(ref_stream)[0],
         "v2": lambda: decode_v2.decode(ref_stream)[0],
         "v1": lambda: decode_pipeline.decode(ref_stream)[0],
         "scan": lambda: scan_codec.decode(ref_stream)[0],
