@@ -143,7 +143,7 @@ def _resolve_scan(f, lit, deltas, idx_val, idx_found):
         rb, vb = bb
         return jnp.maximum(ra, rb), jnp.where(rb != 0, vb, va + vb)
 
-    rs, vs = scans.chunked_assoc_scan(combine, (rflag, val))
+    rs, vs = scans.blocked_scan(combine, (rflag, val))
     return jnp.where(rs != 0, vs, _SEED[:, None] + vs)  # (4, M) value-after
 
 

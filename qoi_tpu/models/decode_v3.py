@@ -148,7 +148,7 @@ def _initial_w(cls, r6, d32, lit32):
         fb, vb = b
         return jnp.maximum(fa, fb), jnp.where(fb != 0, vb, va)
 
-    afs, avs = scans.chunked_assoc_scan(acomb, (af, av))
+    afs, avs = scans.blocked_scan(acomb, (af, av))
     alpha_after = jnp.where(afs != 0, avs, 255)
     alpha_before = jnp.concatenate(
         [jnp.full((1,), 255, jnp.int32), alpha_after[:-1]])
@@ -173,7 +173,7 @@ def _initial_w(cls, r6, d32, lit32):
         rb, vb = b
         return rb | ra, jnp.where(rb != 0, vb, (va + vb) & 63)
 
-    rs, vs = scans.chunked_assoc_scan(hcomb, (r, v))
+    rs, vs = scans.blocked_scan(hcomb, (r, v))
     return jnp.where(rs != 0, vs, (vs + _SEED_HASH) & 63)
 
 
@@ -256,7 +256,10 @@ def _compose_entry_states(root, val, nb: int):
         return (jnp.where(is_abs, _ABS, lr),
                 jnp.where(is_abs, bv, (lv + bv) & 0xFF))
 
-    rs, vs = scans.chunked_assoc_scan(comb, (rc, vc), seg=1 << 11)
+    # plain associative_scan: nb (block count) is M/B — tens of thousands
+    # at most, far below the sizes that stall the remote compiler; the
+    # combine's (4, 65, X) layout must stay fixed (one-hot over axis 2)
+    rs, vs = jax.lax.associative_scan(comb, (rc, vc), axis=-1)
 
     # apply to the initial state: entry px = seed, slots = 0
     seed_c = jnp.array(fmt.SEED_PIXEL, jnp.int32)[:, None, None]
@@ -343,16 +346,31 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
 
 
 def _expand_packed(starts, px32, pix_off, n_px_cap: int):
-    """Run expansion: chunk boundary marks + cummax + ONE packed-u32
-    gather. Truncation-tolerant: pixels before any chunk keep the seed,
-    pixels past the last chunk repeat its px (reference qoi.h:544)."""
+    """Run expansion, gather-free: every chunk has npix >= 1 so pix_off is
+    strictly increasing over chunk starts — each pixel slot has at MOST
+    one writer. Scatter (valid, px) with unique indices (non-start bytes
+    get distinct out-of-range slots, mode="drop"), then propagate the
+    last written px forward with an overwrite-monoid blocked scan — no
+    gather, no cummax-index indirection. Truncation-tolerant: pixels
+    before any chunk keep the seed, pixels past the last chunk repeat its
+    px (reference qoi.h:544)."""
     m = starts.shape[0]
     io = jnp.arange(m, dtype=jnp.int32)
-    marks = jnp.full((n_px_cap,), -1, jnp.int32).at[
-        jnp.where(starts, pix_off, n_px_cap)].max(io, mode="drop")
-    pixel_byte = jax.lax.cummax(marks)
-    vals = px32[jnp.maximum(pixel_byte, 0)]
-    return jnp.where(pixel_byte >= 0, vals, jnp.uint32(_SEED32))
+    # unique scatter targets: start i -> pix_off[i]; non-start i -> a
+    # distinct dropped slot (n_px_cap + i)
+    idx = jnp.where(starts, pix_off, n_px_cap + io)
+    valid = jnp.zeros((n_px_cap,), jnp.uint8).at[idx].set(
+        jnp.uint8(1), mode="drop", unique_indices=True)
+    vals = jnp.zeros((n_px_cap,), jnp.uint32).at[idx].set(
+        px32, mode="drop", unique_indices=True)
+
+    def comb(a, b):
+        va, xa = a
+        vb, xb = b
+        return jnp.maximum(va, vb), jnp.where(vb != 0, xb, xa)
+
+    v, x = scans.blocked_scan(comb, (valid, vals))
+    return jnp.where(v != 0, x, jnp.uint32(_SEED32))
 
 
 @functools.partial(jax.jit, static_argnames=("n_px_cap", "max_rounds"))

@@ -76,7 +76,7 @@ def chunk_starts(data: jnp.ndarray, chunks_len) -> jnp.ndarray:
     trans = _pack_map(lens - 1)  # (M,) int32 packed maps
 
     # inclusive scan -> composed map after byte i; state after = map[0]
-    after = scans.chunked_assoc_scan(_compose_maps, trans)
+    after = scans.blocked_scan(_compose_maps, trans)
     state_after = (after & 7).astype(jnp.int8)  # start state 0 -> digit 0
     # state BEFORE byte i = state after byte i-1 (0 before byte 0)
     state_before = jnp.concatenate(

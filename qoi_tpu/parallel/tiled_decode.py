@@ -62,7 +62,7 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     # (Mb, 5) layout lane-pads 25x on TPU (PERF_NOTES.md)
     lens_b = fsm.chunk_byte_len(data)
     trans = fsm._pack_map(lens_b - 1)
-    incl = scans.chunked_assoc_scan(fsm._compose_maps, trans)  # (Mb,)
+    incl = scans.blocked_scan(fsm._compose_maps, trans)  # (Mb,)
     local_map = incl[-1]
     entry_maps = jax.lax.all_gather(local_map, axis)           # (S,)
 
