@@ -1,0 +1,167 @@
+"""Pallas run-expansion kernel: per-byte decode results -> pixel plane.
+
+The decode pipeline's last stage maps every output pixel p to the px of
+its governing chunk (the last chunk start with pix_off <= p; reference
+run semantics qoi.h:532-544). XLA has no fast primitive for that
+transport on this TPU: scatter and gather both serialize at ~10 ms per
+million elements (PERF_NOTES.md), which made run expansion ~230 ms of a
+~375 ms 4K decode. This kernel does it with compares, selects and one
+deferred lane reduction per 64-pixel subtile — no data-dependent HBM
+access beyond block-granular DMA driven by scalar-prefetched anchors.
+
+Key identity (telescoping in Z/2^32): with d[i] = px32[i] - px32[i-1]
+(plain int32 wraparound, px32[-1] := seed),
+
+    px32[j*(p)] = seed + sum_{i <= j*(p)} d[i]
+
+where j*(p) = last byte with pix_off <= p. Since pix_off is
+nondecreasing and every chunk start has a UNIQUE pixel offset (chunks
+emit >= 1 px; chunk-tail bytes carry the next chunk's offset with
+d = 0 there), the summand set {i : pix_off[i] <= p} telescopes, so
+
+    out = cumsum(landed) + seed,   landed[p] = sum_i d[i] * [pix_off[i] == p]
+
+The kernel computes only the `landed` delta plane (at most one nonzero
+contributor per pixel); the global cumsum runs in XLA where it is
+effectively free (PERF_NOTES op table). No per-channel SWAR isolation
+is needed — the masked sums telescope to differences of pixel values.
+
+Layout: byte records pack into rows of 64 positions,
+row r = [ pix_off[64r : +64] | d[64r : +64] ] (128 int32 lanes).
+Grid = one step per 1024-pixel output tile; a scalar-prefetched anchor
+qb_t = searchsorted(pix_off, 1024 t) >> 13 (a few thousand sorted
+queries — cheap in XLA) aims two adjacent 128-row blocks at the tile:
+the bytes whose offsets land in the tile span < 1024x5 + tail < 8192
+positions, so the dyadic block pair always covers them. Both blocks
+land in a (256, 128) VMEM scratch. Each 64-pixel subtile anchors an
+8-aligned 16-row fine window by counting rows whose FIRST offset is
+<= its base (pix_off is globally nondecreasing, so all bytes landing
+in the subtile live in rows [r*, r* + 6] — 64 bytes hold >= 12 chunks,
+each advancing >= 1 px); it then equality-masks offsets against its
+pixel ids, accumulates deltas across the 16 rows in a (64, 64)
+register block, and reduces once at the end.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import format as fmt
+
+_ROW = 64           # byte positions per record row
+_RLANES = 128       # row lanes: po 64 | d 64
+_TILE = 1024        # output pixels per grid step
+_SUB = 64           # pixels per subtile
+_BROWS = 128        # rows per DMA block (two adjacent blocks per tile)
+_FROWS = 16         # fine-window rows per subtile (8-aligned start)
+_INF = np.int32(0x7FFFFFF0)
+
+_SEED32 = np.int32(np.uint32(
+    fmt.SEED_PIXEL[0] | fmt.SEED_PIXEL[1] << 8
+    | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24).view(np.int32))
+
+
+def _kernel(qb_ref, rec_a, rec_b, out_ref, win):
+    t = pl.program_id(0)
+    base_t = t * _TILE
+    win[0:_BROWS, :] = rec_a[...]
+    win[_BROWS:2 * _BROWS, :] = rec_b[...]
+    rowfirst = win[:, 0:1]                            # (256, 1) nondecreasing
+
+    for s in range(_TILE // _SUB):
+        base_s = base_t + s * _SUB
+        # rows whose first offset is <= base_s: with r* = count - 1, all
+        # bytes landing in the subtile live in rows [r* - 1, r* + 6]
+        # (a chunk start with offset == base_s can sit one row earlier,
+        # its tail bytes carrying the same offset into row r*; rows
+        # advance offsets by >= 12 px — >= 12 chunk starts per 64 bytes)
+        cnt = jnp.sum((rowfirst <= base_s).astype(jnp.int32))
+        # Mosaic must statically prove the sublane start is a multiple
+        # of 8: `x * 8` AFTER the clip is the spelling its divisibility
+        # analysis accepts (`x << 3` is not); floor-align(r* - 1) keeps
+        # the window within [r* - 8, r* - 1] .. [r* + 7, r* + 14]
+        row0 = jnp.clip((cnt - 2) >> 3, 0, (2 * _BROWS - _FROWS) // 8) * 8
+
+        fine = win[pl.ds(row0, _FROWS), :]            # (16, 128)
+        p_col = base_s + jax.lax.broadcasted_iota(
+            jnp.int32, (_SUB, 1), 0)
+
+        acc = jnp.zeros((_SUB, _ROW), jnp.int32)
+        for r in range(_FROWS):
+            po_r = fine[r:r + 1, 0:_ROW]              # (1, 64)
+            d_r = fine[r:r + 1, _ROW:2 * _ROW]
+            acc = acc + jnp.where(po_r == p_col, d_r, 0)
+
+        out_ref[s * _SUB:(s + 1) * _SUB, :] = jnp.sum(
+            acc, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("n_px_cap", "interpret"))
+def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False):
+    """Per-pixel packed-u32 plane from per-byte decode results.
+
+    pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
+    each byte (the exclusive-cumsum-of-npix convention: tail bytes carry
+    the next chunk's offset); px32: (M,) u32 value after each byte
+    (changes only at chunk starts). Pixels past the last chunk repeat
+    its value; pixels before any chunk get the seed (truncation
+    tolerance, reference qoi.h:544). Returns (n_px_cap,) u32.
+    """
+    m = pix_off.shape[0]
+    t_out = -(-n_px_cap // _TILE)
+    nblocks = -(-m // (_ROW * _BROWS)) + 2  # slack: qb + 1 always in range
+    rows_pad = nblocks * _BROWS
+
+    px_i = px32.view(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), _SEED32, jnp.int32), px_i[:-1]])
+    d = px_i - prev
+
+    def pad_to(x, n, fill):
+        return jnp.concatenate([x, jnp.full((n - x.shape[0],), fill, x.dtype)])
+
+    po_p = pad_to(pix_off.astype(jnp.int32), rows_pad * _ROW, _INF)
+    d_p = pad_to(d, rows_pad * _ROW, 0)
+
+    recs = jnp.concatenate([
+        po_p.reshape(rows_pad, _ROW),
+        d_p.reshape(rows_pad, _ROW),
+    ], axis=1)
+
+    qs = jnp.arange(t_out, dtype=jnp.int32) * _TILE
+    qb = (jnp.searchsorted(po_p, qs).astype(jnp.int32) >> 13)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_out,),
+        in_specs=[
+            pl.BlockSpec((_BROWS, _RLANES), lambda t, q: (q[t], 0)),
+            pl.BlockSpec((_BROWS, _RLANES), lambda t, q: (q[t] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((_TILE, 1), lambda t, q: (t, 0)),
+        scratch_shapes=[pltpu.VMEM((2 * _BROWS, _RLANES), jnp.int32)],
+    )
+    landed = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_out * _TILE, 1), jnp.int32),
+        interpret=interpret,
+    )(qb, recs, recs)
+    landed = landed.reshape(-1)[:n_px_cap]
+    return (jnp.cumsum(landed) + _SEED32).view(jnp.uint32)
+
+
+def expand_px_xla(pix_off, px32, n_px_cap: int):
+    """XLA reference path (one scatter-add + cumsum via the same
+    telescoping identity) — fallback on non-TPU platforms and the
+    differential oracle for the kernel tests."""
+    px_i = px32.view(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), _SEED32, jnp.int32), px_i[:-1]])
+    d = px_i - prev
+    plane = jnp.zeros((n_px_cap,), jnp.int32).at[
+        pix_off.astype(jnp.int32)].add(d, mode="drop", indices_are_sorted=True)
+    return (jnp.cumsum(plane) + _SEED32).view(jnp.uint32)

@@ -345,48 +345,47 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     return px, starts, npix, pix_off, conv, rounds
 
 
-def _expand_packed(starts, px32, pix_off, n_px_cap: int):
-    """Run expansion, gather-free: every chunk has npix >= 1 so pix_off is
-    strictly increasing over chunk starts — each pixel slot has at MOST
-    one writer. Scatter (valid, px) with unique indices (non-start bytes
-    get distinct out-of-range slots, mode="drop"), then propagate the
-    last written px forward with an overwrite-monoid blocked scan — no
-    gather, no cummax-index indirection. Truncation-tolerant: pixels
-    before any chunk keep the seed, pixels past the last chunk repeat its
-    px (reference qoi.h:544)."""
-    m = starts.shape[0]
-    io = jnp.arange(m, dtype=jnp.int32)
-    # unique scatter targets: start i -> pix_off[i]; non-start i -> a
-    # distinct dropped slot (n_px_cap + i)
-    idx = jnp.where(starts, pix_off, n_px_cap + io)
-    valid = jnp.zeros((n_px_cap,), jnp.uint8).at[idx].set(
-        jnp.uint8(1), mode="drop", unique_indices=True)
-    vals = jnp.zeros((n_px_cap,), jnp.uint32).at[idx].set(
-        px32, mode="drop", unique_indices=True)
+def _expand_packed(starts, px32, pix_off, n_px_cap: int,
+                   use_kernel: bool = False):
+    """Run expansion via the telescoping-delta formulation
+    (kernels/expand.py): out[p] = seed + sum of px-deltas over bytes
+    with pix_off <= p, which telescopes to the governing chunk's px.
+    `use_kernel` selects the Pallas placement kernel (TPU); the XLA path
+    is one sorted scatter-add + cumsum. Truncation-tolerant: pixels
+    before any chunk keep the seed, pixels past the last chunk repeat
+    its px (reference qoi.h:544)."""
+    from ..kernels import expand as kexpand
 
-    def comb(a, b):
-        va, xa = a
-        vb, xb = b
-        return jnp.maximum(va, vb), jnp.where(vb != 0, xb, xa)
-
-    v, x = scans.blocked_scan(comb, (valid, vals))
-    return jnp.where(v != 0, x, jnp.uint32(_SEED32))
+    if use_kernel:
+        return kexpand.expand_px(pix_off, px32, n_px_cap)
+    return kexpand.expand_px_xla(pix_off, px32, n_px_cap)
 
 
-@functools.partial(jax.jit, static_argnames=("n_px_cap", "max_rounds"))
+def _use_kernel_default() -> bool:
+    """Pallas expansion on real TPU; XLA path everywhere else."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_px_cap", "max_rounds", "use_kernel"))
 def _decode_device(data, chunks_len, n_px_cap: int,
-                   max_rounds: int = _MAX_ROUNDS):
+                   max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False):
     px, starts, npix, pix_off, conv, rounds = _decode_core(
         data, chunks_len, max_rounds)
-    out = _expand_packed(starts, px, pix_off, n_px_cap)
+    out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel)
     return out, conv, rounds
 
 
-@functools.partial(jax.jit, static_argnames=("n_px_cap", "max_rounds"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_px_cap", "max_rounds", "use_kernel"))
 def _decode_device_batch(data, chunks_len, n_px_cap: int,
-                         max_rounds: int = _MAX_ROUNDS):
+                         max_rounds: int = _MAX_ROUNDS,
+                         use_kernel: bool = False):
     return jax.vmap(
-        lambda d, c: _decode_device(d, c, n_px_cap, max_rounds)
+        lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel)
     )(data, chunks_len)
 
 
@@ -422,7 +421,7 @@ def decode(data: bytes, channels: int = 0) -> Tuple[np.ndarray, fmt.StreamDesc]:
 
     px32, conv, _ = _decode_device(
         jnp.asarray(padded), jnp.int32(chunks_len),
-        v1.bucket_size(desc.num_pixels))
+        v1.bucket_size(desc.num_pixels), use_kernel=_use_kernel_default())
     if not bool(jax.device_get(conv)):
         return v1.decode(data, channels)
     img = unpack_px32(np.asarray(jax.device_get(px32)))[

@@ -24,9 +24,11 @@ mirroring the single-device pipeline's certificate: converged means the
 replay used the true hashes, so the output equals the reference decoder's.
 Non-convergence falls back to the single-device path on the host.
 
-Output is returned as per-shard chunk values + run lengths + global pixel
-offsets; run expansion happens host-side (np.repeat), which also handles
-the unbounded chunk->pixel fan-out (a 1-byte RUN covers up to 62 px).
+Run expansion also happens on-device and sharded (`_expand_tiled`):
+per-chunk mod-256 SWAR deltas scatter into the global pixel-delta plane,
+a reduce-scatter sums them onto each shard's pixel range over ICI, and a
+sharded prefix scan rebuilds the pixel values — the chunk->pixel fan-out
+(a 1-byte RUN covers up to 62 px) never touches the host.
 """
 from __future__ import annotations
 
@@ -276,6 +278,92 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     return px, f["npix"], pix_off, nloc[None], conv[None]
 
 
+def _expand_tiled(px, npix, pix_off, nloc, axis: str, n_px_cap: int):
+    """On-device sharded run expansion (SURVEY §7.3 stage: chunk -> pixel).
+
+    Each shard holds chunk-slot values px (mb, 4) u8 with GLOBAL pixel
+    offsets. Expansion rides the mesh: per-chunk mod-256 SWAR deltas vs
+    the previous chunk (cross-shard carry via an all_gather'd compose),
+    locally scattered into the global delta plane, reduce-scattered over
+    `axis` (ICI, not host), then a sharded mod-256 prefix scan turns
+    deltas into pixel values. Run interiors get no delta so they repeat
+    the chunk px — the reference's run semantics (qoi.h:532-537) — and
+    pixels past the last chunk keep its value (truncation tolerance).
+
+    Returns the shard's (n_px_cap / S,) slice of the packed-u32 pixels.
+    """
+    mb = px.shape[0]
+    s = jax.lax.axis_size(axis)
+    ax = jax.lax.axis_index(axis)
+    io = jnp.arange(mb, dtype=jnp.int32)
+    valid = io < nloc
+
+    px32 = (px[:, 0].astype(jnp.uint32)
+            | px[:, 1].astype(jnp.uint32) << 8
+            | px[:, 2].astype(jnp.uint32) << 16
+            | px[:, 3].astype(jnp.uint32) << 24)
+
+    # incoming pixel: previous shard's last valid chunk px (seed if none)
+    has = nloc > 0
+    last_px = px32[jnp.maximum(nloc - 1, 0)]
+    hass = jax.lax.all_gather(has, axis)
+    lasts = jax.lax.all_gather(last_px, axis)
+
+    def pstep(carry, x):
+        h, v = x
+        return jnp.where(h, v, carry), carry
+
+    seed32 = jnp.uint32(
+        fmt.SEED_PIXEL[0] | fmt.SEED_PIXEL[1] << 8
+        | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24)
+    _, entries = jax.lax.scan(pstep, seed32, (hass, lasts))
+    px_in = entries[ax]
+
+    prev = jnp.concatenate([px_in[None], px32[:-1]])
+    # per-channel mod-256 deltas packed 2 per i32 (16-bit lanes)
+    def ch(v, k):
+        return ((v >> (8 * k)) & 0xFF).astype(jnp.int32)
+
+    d = [(ch(px32, k) - ch(prev, k)) & 0xFF for k in range(4)]
+    dlo = jnp.where(valid, d[0] | d[1] << 16, 0)
+    dhi = jnp.where(valid, d[2] | d[3] << 16, 0)
+
+    # local scatter into the global delta plane; chunk pixel offsets are
+    # globally unique (every chunk emits >= 1 px), invalid slots drop
+    idx = jnp.where(valid, pix_off, n_px_cap + io)
+    plane_lo = jnp.zeros((n_px_cap,), jnp.int32).at[idx].add(dlo, mode="drop")
+    plane_hi = jnp.zeros((n_px_cap,), jnp.int32).at[idx].add(dhi, mode="drop")
+    # deltas onto this shard's pixel range, summed over shards via ICI
+    loc_lo = jax.lax.psum_scatter(plane_lo, axis, scatter_dimension=0, tiled=True)
+    loc_hi = jax.lax.psum_scatter(plane_hi, axis, scatter_dimension=0, tiled=True)
+
+    # sharded inclusive mod-256 prefix (16-bit lanes keep the residues)
+    m = jnp.int32(0x00FF00FF)
+
+    def comb(a, b):
+        la, ha = a
+        lb, hb = b
+        return ((la + lb) & m), ((ha + hb) & m)
+
+    sl, sh = scans.blocked_scan(comb, (loc_lo & m, loc_hi & m))
+    tot = (sl[-1], sh[-1])
+    tots = jax.lax.all_gather(tot, axis)
+
+    def estep(carry, x):
+        return comb(carry, x), carry
+
+    _, excls = jax.lax.scan(estep, (jnp.int32(0), jnp.int32(0)),
+                            (tots[0], tots[1]))
+    sl, sh = comb((excls[0][ax], excls[1][ax]), (sl, sh))
+
+    # apply the seed and repack to u32 pixels
+    out = (((sl + jnp.int32(fmt.SEED_PIXEL[0])) & 0xFF)
+           | (((sl >> 16) + jnp.int32(fmt.SEED_PIXEL[1])) & 0xFF) << 8
+           | (((sh + jnp.int32(fmt.SEED_PIXEL[2])) & 0xFF) << 16)
+           | (((sh >> 16) + jnp.int32(fmt.SEED_PIXEL[3])) & 0xFF) << 24)
+    return out.astype(jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"))
 def _decode_tiled_device(data, chunks_len, *, mesh: Mesh, axis: str):
     fn = jax.shard_map(
@@ -283,6 +371,26 @@ def _decode_tiled_device(data, chunks_len, *, mesh: Mesh, axis: str):
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return fn(data, chunks_len)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_px_cap"))
+def _decode_expand_device(data, chunks_len, *, mesh: Mesh, axis: str,
+                          n_px_cap: int):
+    """Full sharded decode incl. on-device run expansion: returns the
+    packed-u32 pixel plane sharded over `axis` plus convergence flags."""
+
+    def step(data, chunks_len):
+        px, npix, pix_off, nloc, conv = _tile_step(data, chunks_len, axis=axis)
+        out = _expand_tiled(px, npix, pix_off, nloc[0], axis, n_px_cap)
+        return out, conv
+
+    fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     return fn(data, chunks_len)
@@ -305,30 +413,16 @@ def decode_tiled(data: bytes, mesh: Mesh, channels: int = 0,
     padded = np.zeros((s * mb,), np.uint8)
     padded[: len(body)] = body
 
+    n_px = desc.num_pixels
+    n_px_cap = -(-max(n_px, 1) // (64 * s)) * 64 * s
+
     x = jax.device_put(jnp.asarray(padded), NamedSharding(mesh, P(axis)))
-    px, npix, pix_off, nlocs, conv = _decode_tiled_device(
-        x, jnp.int32(chunks_len), mesh=mesh, axis=axis)
+    px32, conv = _decode_expand_device(
+        x, jnp.int32(chunks_len), mesh=mesh, axis=axis, n_px_cap=n_px_cap)
     if not bool(np.all(np.asarray(jax.device_get(conv)))):
         return dp.decode(data, channels)
 
-    px = np.asarray(jax.device_get(px)).reshape(s, mb, 4)
-    npix = np.asarray(jax.device_get(npix)).reshape(s, mb)
-    nlocs = np.asarray(jax.device_get(nlocs)).reshape(s)
-
-    # host-side run expansion (np.repeat), truncation-tolerant fill
-    vals = []
-    for k in range(s):
-        nl = nlocs[k]
-        if nl:
-            vals.append(np.repeat(px[k, :nl], npix[k, :nl], axis=0))
-    n_px = desc.num_pixels
-    if vals:
-        flat = np.concatenate(vals)[:n_px]
-    else:
-        flat = np.zeros((0, 4), np.uint8)
-    if flat.shape[0] < n_px:  # truncated stream: fill with last px / seed
-        fill = flat[-1] if flat.shape[0] else np.array(fmt.SEED_PIXEL, np.uint8)
-        flat = np.concatenate(
-            [flat, np.broadcast_to(fill, (n_px - flat.shape[0], 4))])
+    flat = np.ascontiguousarray(
+        np.asarray(jax.device_get(px32))).view(np.uint8).reshape(-1, 4)[:n_px]
     img = flat[:, :out_ch].reshape(desc.height, desc.width, out_ch)
     return img, desc

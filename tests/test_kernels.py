@@ -70,3 +70,58 @@ def test_fused_staging_table_carry():
 
 def test_fused_staging_padding_tail():
     _check(testimages.noise(97, 5, 4, seed=8), block=256)
+
+
+# ---------------------------------------------------------------------------
+# Run-expansion kernel (kernels/expand.py) vs its XLA telescoping reference
+# ---------------------------------------------------------------------------
+
+def _synth_records(m, seed, max_run=62):
+    """Per-byte (pix_off, px32) records mimicking decode output: chunks of
+    1-5 bytes, each emitting 1 px except 1-byte chunks which may RUN."""
+    rng = np.random.default_rng(seed)
+    npix = np.zeros(m, np.int64)
+    px = np.zeros(m, np.uint32)
+    i = 0
+    while i < m - 5:
+        nbytes = int(rng.integers(1, 6))
+        n = int(rng.integers(1, max_run + 1)) if nbytes == 1 else 1
+        npix[i] = n
+        px[i:i + nbytes] = np.uint32(rng.integers(0, 2**32))
+        i += nbytes
+    px[i:] = px[i - 1] if i else 0
+    pix_off = (np.cumsum(npix) - npix).astype(np.int32)
+    return pix_off, px
+
+
+@pytest.mark.parametrize("m,cap,seed", [
+    (600, 512, 0),        # truncation: offsets overflow the cap
+    (6000, 4096, 1),
+    (100, 2048, 2),       # short stream: tail repeats the last chunk px
+    (70000, 65536, 3),
+])
+def test_expand_kernel_matches_xla(m, cap, seed):
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    pix_off, px = _synth_records(m, seed)
+    got = np.asarray(expand.expand_px(
+        jnp.asarray(pix_off), jnp.asarray(px), cap, interpret=True))
+    want = np.asarray(expand.expand_px_xla(
+        jnp.asarray(pix_off), jnp.asarray(px), cap))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_expand_kernel_all_singles():
+    """No runs at all: every chunk 5 bytes (worst-case window density)."""
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    pix_off, px = _synth_records(20000, 7, max_run=1)
+    got = np.asarray(expand.expand_px(
+        jnp.asarray(pix_off), jnp.asarray(px), 16384, interpret=True))
+    want = np.asarray(expand.expand_px_xla(
+        jnp.asarray(pix_off), jnp.asarray(px), 16384))
+    np.testing.assert_array_equal(got, want)
