@@ -1,16 +1,18 @@
 #!/usr/bin/env python3
-"""Headline benchmark: single-chip QOI encode throughput, batched 4K RGBA.
+"""Headline benchmark: single-chip QOI encode + decode throughput, batched
+4K RGBA.
 
 Mirrors the reference benchmark's metric (Mpixels/s, qoibench.c:340-357)
 on BASELINE.json configs 2/3: 4K RGBA frames, a small batch per program
 call (the deployment shape — this platform has ~40 ms fixed per-program
 overhead, so sustained throughput is the honest number). The baseline
-denominator is the measured single-core throughput of the reference
-encoder on this machine (BASELINE.md: 163 Mpx/s).
+denominators are the measured single-core throughputs of the reference
+codec on this machine (BASELINE.md: 163 Mpx/s encode, 228 Mpx/s decode).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mpx/s", "vs_baseline": N}
-Extra diagnostics go to stderr only.
+  {"metric": ..., "value": N, "unit": "Mpx/s", "vs_baseline": N,
+   "decode_mpxs": N, "decode_vs_baseline": N}
+Extra diagnostics (SOL fractions, per-phase times) go to stderr only.
 """
 from __future__ import annotations
 
@@ -27,6 +29,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_ENCODE_MPXS = 163.0  # BASELINE.md measured, qoi.h:356 loop, 1 core -O3
+BASELINE_DECODE_MPXS = 228.0  # BASELINE.md measured, qoi.h:488 loop (218-237)
 
 W, H = 3840, 2160
 BATCH = 4
@@ -44,7 +47,7 @@ def main() -> None:
     from qoi_tpu import format as fmt
     from qoi_tpu.models import pipeline
     from qoi_tpu.ops import compact
-    from qoi_tpu.utils import testimages
+    from qoi_tpu.utils import profiling, testimages
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
@@ -78,11 +81,11 @@ def main() -> None:
     # correctness gate: frame 0's stream must match the oracle byte-for-byte
     t0 = time.perf_counter()
     outs = encode_frames()
-    bufs, totals = outs[0]
     totals_host = np.asarray([int(jax.device_get(t)) for _, t in outs])
-    log(f"compile+first run: {time.perf_counter() - t0:.0f}s")
+    log(f"encode compile+first run: {time.perf_counter() - t0:.0f}s")
     # every timed frame must be byte-identical to the oracle; a mismatch
     # aborts the bench (a correctness regression must not publish a number)
+    streams = []
     try:
         from qoi_tpu import oracle
 
@@ -101,28 +104,95 @@ def main() -> None:
                         "verify_failed": True,
                     }))
                     sys.exit(1)
+                streams.append(stream_i)
             log(f"verified: all {BATCH} frames byte-identical to oracle encode")
     except Exception as e:  # pragma: no cover - bench must still report
         log(f"oracle verification skipped: {e}")
+    if not streams:
+        from qoi_tpu import oracle
+
+        streams = [oracle.encode(f, desc) for f in frames]
 
     # timed reps: every rep host-fetches the totals (block_until_ready can
     # return before device completion on this platform)
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        encode_frames()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = profiling.device_sync_time(
+        lambda: encode_frames()[-1][1], reps=REPS)
+    enc_mpxs = (BATCH * n / 1e6) / dt
+    enc_sol = profiling.encode_sol_model(BATCH * n, 4)
+    log(f"encode {BATCH}x4K RGBA: {dt * 1e3:.2f} ms/batch, {enc_mpxs:.1f} "
+        f"Mpx/s, {totals_host[0] / 1024:.0f} KiB/stream "
+        f"({100 * totals_host[0] / (n * 4):.1f}%), "
+        f"SOL fraction {enc_mpxs / enc_sol['sol_mpps']:.3f}")
 
-    mpxs = (BATCH * n / 1e6) / dt
-    log(f"encode {BATCH}x4K RGBA: {dt * 1e3:.2f} ms/batch, {mpxs:.1f} Mpx/s, "
-        f"{totals_host[0] / 1024:.0f} KiB/stream ({100 * totals_host[0] / (n * 4):.1f}%)")
+    # ---- decode: same batch shape, pixels stay device-resident ----------
+    from qoi_tpu.models import decode_pipeline as v1
+    from qoi_tpu.models import decode_v3
+
+    mcap = v1.bucket_size(max(len(s) for s in streams) - fmt.HEADER_SIZE)
+    npc = v1.bucket_size(n)
+    dstreams, dlens = [], []
+    for s in streams:
+        body = np.zeros((mcap,), np.uint8)
+        raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+        body[: len(raw)] = raw
+        dstreams.append(jax.device_put(jnp.asarray(body)))
+        dlens.append(jnp.int32(len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE))
+
+    use_kernel = dev.platform == "tpu"
+
+    @jax.jit
+    def decode_one(d, c):
+        out, conv, _ = decode_v3._decode_device(
+            d, c, npc, use_kernel=use_kernel)
+        return out, conv
+
+    # device-side bit-exactness gate: decoded packed px vs the uploaded
+    # originals — the 3 MB/s host tunnel never sees the 67 MB pixel planes
+    @jax.jit
+    def check_one(out, px4):
+        want = (px4[:, 0].astype(jnp.uint32)
+                | px4[:, 1].astype(jnp.uint32) << 8
+                | px4[:, 2].astype(jnp.uint32) << 16
+                | px4[:, 3].astype(jnp.uint32) << 24)
+        m = min(npc, want.shape[0])
+        return jnp.all(out[:n] == want[:m][:n]) if m >= n else jnp.bool_(False)
+
+    def decode_frames():
+        outs = [decode_one(d, c) for d, c in zip(dstreams, dlens)]
+        for _, conv in outs:
+            assert bool(jax.device_get(conv)), "decode fixpoint non-convergence"
+        return outs
+
+    t0 = time.perf_counter()
+    outs = decode_frames()
+    log(f"decode compile+first run: {time.perf_counter() - t0:.0f}s")
+    for i, (out, _) in enumerate(outs):
+        if not bool(jax.device_get(check_one(out, xs[i]))):
+            log(f"VERIFY FAILED: frame {i} decode mismatches source pixels")
+            print(json.dumps({
+                "metric": "encode_4k_rgba_batch_throughput",
+                "value": round(enc_mpxs, 1), "unit": "Mpx/s",
+                "vs_baseline": round(enc_mpxs / BASELINE_ENCODE_MPXS, 2),
+                "decode_mpxs": 0.0, "decode_vs_baseline": 0.0,
+                "verify_failed": True,
+            }))
+            sys.exit(1)
+    log(f"verified: all {BATCH} decodes pixel-identical to source (on device)")
+
+    ddt = profiling.device_sync_time(
+        lambda: decode_frames()[-1][1], reps=REPS)
+    dec_mpxs = (BATCH * n / 1e6) / ddt
+    dec_sol = profiling.decode_sol_model(BATCH * n, 4)
+    log(f"decode {BATCH}x4K RGBA: {ddt * 1e3:.2f} ms/batch, {dec_mpxs:.1f} "
+        f"Mpx/s, SOL fraction {dec_mpxs / dec_sol['sol_mpps']:.3f}")
 
     print(json.dumps({
         "metric": "encode_4k_rgba_batch_throughput",
-        "value": round(mpxs, 1),
+        "value": round(enc_mpxs, 1),
         "unit": "Mpx/s",
-        "vs_baseline": round(mpxs / BASELINE_ENCODE_MPXS, 2),
+        "vs_baseline": round(enc_mpxs / BASELINE_ENCODE_MPXS, 2),
+        "decode_mpxs": round(dec_mpxs, 1),
+        "decode_vs_baseline": round(dec_mpxs / BASELINE_DECODE_MPXS, 2),
     }))
 
 

@@ -14,8 +14,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
-
+from . import config as cfg
 from . import format as fmt, io
 
 
@@ -28,7 +27,17 @@ def main(argv=None) -> int:
                     default="tpu", help="codec engine (default: tpu)")
     ap.add_argument("--verify", action="store_true",
                     help="differentially check output against the C++ oracle")
+    ap.add_argument("--max-rounds", type=int,
+                    default=cfg.DEFAULT.decode_max_iters, metavar="N",
+                    help="decode fixpoint cap before sequential fallback")
+    ap.add_argument("--bucket-floor", type=int,
+                    default=cfg.DEFAULT.bucket_floor, metavar="N",
+                    help="shape-bucketing floor (compiled-shape granularity)")
     args = ap.parse_args(argv)
+    config = cfg.EngineConfig(
+        engine=args.engine, verify=args.verify,
+        decode_max_iters=args.max_rounds, bucket_floor=args.bucket_floor)
+    config.validate()
 
     src, dst = args.infile.lower(), args.outfile.lower()
     if not (src.endswith(".png") or src.endswith(".qoi")):
@@ -41,25 +50,20 @@ def main(argv=None) -> int:
         pixels = io.load_png(args.infile)
         desc = io.image_desc(pixels)
     else:
-        pixels, desc = io.read(args.infile, engine=args.engine)
-        if args.verify:
-            from . import oracle
-
-            ref, _ = oracle.decode(open(args.infile, "rb").read())
-            if not np.array_equal(pixels, ref):
-                print("VERIFY FAILED: decode mismatches oracle", file=sys.stderr)
-                return 1
+        try:
+            pixels, desc = io.read(args.infile, engine=config)
+        except AssertionError as e:  # config.verify mismatch
+            print(f"VERIFY FAILED: {e}", file=sys.stderr)
+            return 1
         desc = fmt.StreamDesc(desc.width, desc.height, desc.channels)
 
     # -- write
     if dst.endswith(".qoi"):
-        n = io.write(args.outfile, pixels, desc, engine=args.engine)
-        if args.verify:
-            from . import oracle
-
-            if open(args.outfile, "rb").read() != oracle.encode(pixels, desc):
-                print("VERIFY FAILED: encode mismatches oracle", file=sys.stderr)
-                return 1
+        try:
+            n = io.write(args.outfile, pixels, desc, engine=config)
+        except AssertionError as e:  # config.verify mismatch
+            print(f"VERIFY FAILED: {e}", file=sys.stderr)
+            return 1
         print(f"{args.outfile}: {n} bytes "
               f"({100 * n / (desc.num_pixels * desc.channels):.1f}% of raw)")
     else:

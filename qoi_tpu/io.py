@@ -9,45 +9,75 @@ reference's loaders force non-3-channel sources to 4 (qoiconv.c:51-56).
 from __future__ import annotations
 
 import pathlib
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
+from . import config as cfg
 from . import format as fmt
 
 
-def _engine(name: str):
-    if name == "tpu":
+def _as_config(engine: Union[str, "cfg.EngineConfig"]) -> "cfg.EngineConfig":
+    if isinstance(engine, cfg.EngineConfig):
+        engine.validate()
+        return engine
+    return cfg.EngineConfig(engine=engine)
+
+
+def _engine(engine: Union[str, "cfg.EngineConfig"]):
+    """Resolve (encode, decode) callables for an engine name or a full
+    EngineConfig (SURVEY §5.6: one dataclass drives the tunables)."""
+    c = _as_config(engine)
+    if c.engine == "tpu":
         from .models import decode_v3, pipeline
 
-        return pipeline.encode, decode_v3.decode
-    if name == "scan":
+        return (lambda px, desc: pipeline.encode(px, desc, config=c),
+                lambda data, ch=0: decode_v3.decode(data, ch, config=c))
+    if c.engine == "scan":
         from .models import scan_codec
 
         return scan_codec.encode, scan_codec.decode
-    if name == "oracle":
+    if c.engine == "oracle":
         from . import oracle
 
         return oracle.encode, oracle.decode
-    raise ValueError(f"unknown engine {name!r} (want tpu, scan or oracle)")
+    raise ValueError(f"unknown engine {c.engine!r} (want tpu, scan or oracle)")
 
 
 def write(path, pixels: np.ndarray, desc: fmt.StreamDesc,
-          engine: str = "tpu") -> int:
+          engine: Union[str, "cfg.EngineConfig"] = "tpu") -> int:
     """Encode and write a .qoi file; returns bytes written (reference
-    qoi_write, qoi.h:595)."""
-    enc, _ = _engine(engine)
+    qoi_write, qoi.h:595). `engine` is a name or an EngineConfig; with
+    config.verify the stream is differentially checked vs the oracle."""
+    c = _as_config(engine)
+    enc, _ = _engine(c)
     data = enc(pixels, desc)
+    if c.verify and c.engine != "oracle":
+        from . import oracle
+
+        if oracle.available() and data != oracle.encode(pixels, desc):
+            raise AssertionError("encode mismatch vs the C++ oracle")
     pathlib.Path(path).write_bytes(data)
     return len(data)
 
 
 def read(path, channels: int = 0,
-         engine: str = "tpu") -> Tuple[np.ndarray, fmt.StreamDesc]:
+         engine: Union[str, "cfg.EngineConfig"] = "tpu"
+         ) -> Tuple[np.ndarray, fmt.StreamDesc]:
     """Read and decode a .qoi file (reference qoi_read, qoi.h:619).
-    channels=0 uses the header count."""
-    _, dec = _engine(engine)
-    return dec(pathlib.Path(path).read_bytes(), channels)
+    channels=0 uses the header count. `engine` as in `write`."""
+    c = _as_config(engine)
+    _, dec = _engine(c)
+    data = pathlib.Path(path).read_bytes()
+    img, desc = dec(data, channels)
+    if c.verify and c.engine != "oracle":
+        from . import oracle
+
+        if oracle.available():
+            want, _ = oracle.decode(data, channels)
+            if not np.array_equal(img, want):
+                raise AssertionError("decode mismatch vs the C++ oracle")
+    return img, desc
 
 
 def load_png(path) -> np.ndarray:

@@ -33,13 +33,16 @@ qb_t = searchsorted(pix_off, 1024 t) >> 13 (a few thousand sorted
 queries — cheap in XLA) aims two adjacent 128-row blocks at the tile:
 the bytes whose offsets land in the tile span < 1024x5 + tail < 8192
 positions, so the dyadic block pair always covers them. Both blocks
-land in a (256, 128) VMEM scratch. Each 64-pixel subtile anchors an
-8-aligned 16-row fine window by counting rows whose FIRST offset is
+land in a (256, 128) VMEM scratch. Each 128-pixel subtile anchors an
+8-aligned 24-row fine window by counting rows whose FIRST offset is
 <= its base (pix_off is globally nondecreasing, so all bytes landing
-in the subtile live in rows [r*, r* + 6] — 64 bytes hold >= 12 chunks,
-each advancing >= 1 px); it then equality-masks offsets against its
-pixel ids, accumulates deltas across the 16 rows in a (64, 64)
-register block, and reduces once at the end.
+in the subtile live in rows [r* - 1, r* + ceil(sub/12) + 1] — 64 bytes
+hold >= 12 chunks, each advancing >= 1 px); it then equality-masks
+offsets against its pixel ids, accumulates deltas across the window
+rows in a (128, 64) register block, and reduces once at the end.
+Output rows are (tile, subtile) pairs with PIXELS ON LANES — a
+(pixels, 1) output would pad its 1-lane minor dim 128x in HBM
+(PERF_NOTES lane-padding trap) and cost more than the compute.
 """
 from __future__ import annotations
 
@@ -56,53 +59,70 @@ from .. import format as fmt
 _ROW = 64           # byte positions per record row
 _RLANES = 128       # row lanes: po 64 | d 64
 _TILE = 1024        # output pixels per grid step
-_SUB = 64           # pixels per subtile
+_SUB = 128          # pixels per subtile (lanes of one output row)
 _BROWS = 128        # rows per DMA block (two adjacent blocks per tile)
-_FROWS = 16         # fine-window rows per subtile (8-aligned start)
 _INF = np.int32(0x7FFFFFF0)
+
+
+def _frows(sub: int) -> int:
+    """Fine-window rows per subtile: 8 alignment slack + the rows the
+    sub's landing bytes can span (every 64-byte row holds >= 12 chunk
+    starts, each advancing >= 1 px) + 1, rounded up to a multiple of 8."""
+    need = 8 + -(-sub // 12) + 2
+    return -(-need // 8) * 8
 
 _SEED32 = np.int32(np.uint32(
     fmt.SEED_PIXEL[0] | fmt.SEED_PIXEL[1] << 8
     | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24).view(np.int32))
 
 
-def _kernel(qb_ref, rec_a, rec_b, out_ref, win):
-    t = pl.program_id(0)
-    base_t = t * _TILE
-    win[0:_BROWS, :] = rec_a[...]
-    win[_BROWS:2 * _BROWS, :] = rec_b[...]
-    rowfirst = win[:, 0:1]                            # (256, 1) nondecreasing
+def _make_kernel(tile: int, sub: int):
+    frows = _frows(sub)
 
-    for s in range(_TILE // _SUB):
-        base_s = base_t + s * _SUB
-        # rows whose first offset is <= base_s: with r* = count - 1, all
-        # bytes landing in the subtile live in rows [r* - 1, r* + 6]
-        # (a chunk start with offset == base_s can sit one row earlier,
-        # its tail bytes carrying the same offset into row r*; rows
-        # advance offsets by >= 12 px — >= 12 chunk starts per 64 bytes)
-        cnt = jnp.sum((rowfirst <= base_s).astype(jnp.int32))
-        # Mosaic must statically prove the sublane start is a multiple
-        # of 8: `x * 8` AFTER the clip is the spelling its divisibility
-        # analysis accepts (`x << 3` is not); floor-align(r* - 1) keeps
-        # the window within [r* - 8, r* - 1] .. [r* + 7, r* + 14]
-        row0 = jnp.clip((cnt - 2) >> 3, 0, (2 * _BROWS - _FROWS) // 8) * 8
+    def kernel(qb_ref, rec_a, rec_b, out_ref, win):
+        t = pl.program_id(0)
+        base_t = t * tile
+        win[0:_BROWS, :] = rec_a[...]
+        win[_BROWS:2 * _BROWS, :] = rec_b[...]
+        rowfirst = win[:, 0:1]                        # (256, 1) nondecreasing
 
-        fine = win[pl.ds(row0, _FROWS), :]            # (16, 128)
-        p_col = base_s + jax.lax.broadcasted_iota(
-            jnp.int32, (_SUB, 1), 0)
+        for s in range(tile // sub):
+            base_s = base_t + s * sub
+            # rows whose first offset is <= base_s: with r* = count - 1,
+            # all bytes landing in the subtile live in rows
+            # [r* - 1, r* + ceil(sub/12) + 1] (a chunk start with offset
+            # == base_s can sit one row earlier, its tail bytes carrying
+            # the same offset into row r*; rows advance offsets by >= 12
+            # px — >= 12 chunk starts per 64 bytes)
+            cnt = jnp.sum((rowfirst <= base_s).astype(jnp.int32))
+            # Mosaic must statically prove the sublane start is a
+            # multiple of 8: `x * 8` AFTER the clip is the spelling its
+            # divisibility analysis accepts (`x << 3` is not);
+            # floor-align(r* - 1) keeps the window inside the scratch
+            row0 = jnp.clip((cnt - 2) >> 3, 0, (2 * _BROWS - frows) // 8) * 8
 
-        acc = jnp.zeros((_SUB, _ROW), jnp.int32)
-        for r in range(_FROWS):
-            po_r = fine[r:r + 1, 0:_ROW]              # (1, 64)
-            d_r = fine[r:r + 1, _ROW:2 * _ROW]
-            acc = acc + jnp.where(po_r == p_col, d_r, 0)
+            fine = win[pl.ds(row0, frows), :]         # (frows, 128)
+            p_col = base_s + jax.lax.broadcasted_iota(
+                jnp.int32, (sub, 1), 0)
 
-        out_ref[s * _SUB:(s + 1) * _SUB, :] = jnp.sum(
-            acc, axis=1, keepdims=True)
+            acc = jnp.zeros((sub, _ROW), jnp.int32)
+            for r in range(frows):
+                po_r = fine[r:r + 1, 0:_ROW]          # (1, 64)
+                d_r = fine[r:r + 1, _ROW:2 * _ROW]
+                acc = acc + jnp.where(po_r == p_col, d_r, 0)
+
+            # one output row per subtile, pixels on LANES: a (pixels, 1)
+            # output pads its 1-lane minor dim 128x in HBM and the padded
+            # writes alone cost more than the kernel's compute
+            out_ref[s, :] = jnp.sum(acc, axis=1)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_px_cap", "interpret"))
-def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=(
+    "n_px_cap", "interpret", "tile", "sub"))
+def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
+              tile: int = _TILE, sub: int = _SUB):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
@@ -112,8 +132,16 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False):
     its value; pixels before any chunk get the seed (truncation
     tolerance, reference qoi.h:544). Returns (n_px_cap,) u32.
     """
+    # coverage: a tile's landing bytes span <= 5*tile + tail positions from
+    # the first landing byte, which sits within block qb — the adjacent
+    # block pair must always cover them
+    assert tile * 5 + 8 <= _ROW * _BROWS, "tile too large for block pair"
+    assert tile % sub == 0 and _frows(sub) <= 2 * _BROWS
+    # lane-major output blocks: one row per subtile, Mosaic requires the
+    # block's last-two dims divisible by (8, 128)
+    assert tile // sub == 8 and sub % 128 == 0, "out layout needs 8 x 128k"
     m = pix_off.shape[0]
-    t_out = -(-n_px_cap // _TILE)
+    t_out = -(-n_px_cap // tile)
     nblocks = -(-m // (_ROW * _BROWS)) + 2  # slack: qb + 1 always in range
     rows_pad = nblocks * _BROWS
 
@@ -132,7 +160,7 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False):
         d_p.reshape(rows_pad, _ROW),
     ], axis=1)
 
-    qs = jnp.arange(t_out, dtype=jnp.int32) * _TILE
+    qs = jnp.arange(t_out, dtype=jnp.int32) * tile
     qb = (jnp.searchsorted(po_p, qs).astype(jnp.int32) >> 13)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -142,15 +170,18 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False):
             pl.BlockSpec((_BROWS, _RLANES), lambda t, q: (q[t], 0)),
             pl.BlockSpec((_BROWS, _RLANES), lambda t, q: (q[t] + 1, 0)),
         ],
-        out_specs=pl.BlockSpec((_TILE, 1), lambda t, q: (t, 0)),
+        out_specs=pl.BlockSpec((tile // sub, sub), lambda t, q: (t, 0)),
         scratch_shapes=[pltpu.VMEM((2 * _BROWS, _RLANES), jnp.int32)],
     )
     landed = pl.pallas_call(
-        _kernel,
+        _make_kernel(tile, sub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_out * _TILE, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (t_out * (tile // sub), sub), jnp.int32),
         interpret=interpret,
     )(qb, recs, recs)
+    # rows are (tile, subtile) in order, lanes are pixels: row-major
+    # flatten IS pixel order
     landed = landed.reshape(-1)[:n_px_cap]
     return (jnp.cumsum(landed) + _SEED32).view(jnp.uint32)
 

@@ -189,9 +189,11 @@ def encode_stage_chunks(
 
 @jax.jit
 def _encode_device(px4: jnp.ndarray, n_valid: jnp.ndarray):
-    chunks = encode_stage_chunks(px4, n_valid)
+    with profiling.annotate("qoi.encode.stage_chunks"):
+        chunks = encode_stage_chunks(px4, n_valid)
     capacity = px4.shape[0] * 6
-    return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
+    with profiling.annotate("qoi.encode.compact"):
+        return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
 
 
 # -- two-program flow for host-level paths: phase A runs the table stage's
@@ -244,13 +246,15 @@ def force_rgba(pixels: np.ndarray, desc: fmt.StreamDesc) -> np.ndarray:
     return flat
 
 
-def encode(pixels: np.ndarray, desc: fmt.StreamDesc) -> bytes:
+def encode(pixels: np.ndarray, desc: fmt.StreamDesc, config=None) -> bytes:
     """Encode one image through the parallel pipeline; byte-identical to the
-    reference encoder (qoi.h:356)."""
+    reference encoder (qoi.h:356). `config` (an EngineConfig) tunes the
+    shape-bucketing floor."""
     desc.validate()
     px4 = force_rgba(pixels, desc)
     n = px4.shape[0]
-    padded = np.zeros((bucket_size(n), 4), np.uint8)
+    floor = config.bucket_floor if config else 256
+    padded = np.zeros((bucket_size(n, floor), 4), np.uint8)
     padded[:n] = px4
     buf, total = encode_device_split(jnp.asarray(padded), jnp.int32(n))
     body = np.asarray(jax.device_get(buf))[: int(jax.device_get(total))]
