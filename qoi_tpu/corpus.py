@@ -148,6 +148,22 @@ def run_job(
     return counters
 
 
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """Bring up the cross-host runtime (SURVEY §5.8: DCN across hosts).
+
+    On TPU pods the three arguments are normally auto-detected and
+    `jax.distributed.initialize()` suffices; here they are explicit so the
+    same code path runs as N local processes over the CPU backend (the
+    2-process test in tests/test_distributed.py exercises exactly this)."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
 def allreduce_counters(counters: Counters) -> Counters:
     """Sum counters across hosts when a jax.distributed runtime is up;
     identity on a single host (SURVEY §5.8: one final psum of counters).
@@ -186,14 +202,28 @@ def main(argv=None) -> int:
                     default="roundtrip")
     ap.add_argument("--checkpoint")
     ap.add_argument("--checkpoint-every", type=int, default=50)
-    ap.add_argument("--shard", type=int, default=0)
-    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--shard", type=int, default=None)
+    ap.add_argument("--num-shards", type=int, default=None)
     ap.add_argument("--noverify", action="store_true")
+    ap.add_argument("--coordinator", metavar="HOST:PORT",
+                    help="bring up jax.distributed across processes; "
+                         "shard/num-shards default to the process grid")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    shard, num_shards = args.shard or 0, args.num_shards or 1
+    if args.coordinator:
+        import jax
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+        if args.shard is None:
+            shard, num_shards = jax.process_index(), jax.process_count()
 
     counters = run_job(
         args.root, args.mode, args.checkpoint, args.checkpoint_every,
-        args.shard, args.num_shards, not args.noverify)
+        shard, num_shards, not args.noverify)
     total = allreduce_counters(counters)
     print(json.dumps(total.summary()))
     return 1 if total.verify_failures else 0

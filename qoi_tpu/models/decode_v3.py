@@ -331,19 +331,27 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     w0 = jnp.where(starts, _initial_w(cls, r6, d32, lit32), 0)
 
     def body(state):
-        w, _, _, it = state
+        w, _, _, it, prev_bad = state
         px = _resolve(cls, r6, w, d32, lit32, m, b)
         true_w = jnp.where(starts, _hash_packed(px), 0)
-        conv = jnp.all(true_w == w)
-        return true_w, px, conv, it + 1
+        bad = jnp.sum((true_w != w).astype(jnp.int32))
+        # bail early (bad = -1 flag) when the mismatch count stops
+        # shrinking: alpha-varying + INDEX-heavy streams build error
+        # chains deeper than any round budget (a round only guarantees
+        # the FIRST mismatch fixed) — burning all max_rounds would just
+        # delay the sequential fallback
+        stalled = (bad > 0) & (bad >= prev_bad)
+        return (true_w, px, bad == 0, it + 1,
+                jnp.where(stalled, jnp.int32(-1), bad))
 
     def cond(state):
-        _, _, conv, it = state
-        return ~conv & (it < max_rounds)
+        _, _, conv, it, bad = state
+        return ~conv & (it < max_rounds) & (bad != -1)
 
     px0 = jnp.zeros((m,), jnp.uint32)
-    w, px, conv, rounds = jax.lax.while_loop(
-        cond, body, (w0, px0, jnp.bool_(False), jnp.int32(0)))
+    w, px, conv, rounds, _ = jax.lax.while_loop(
+        cond, body, (w0, px0, jnp.bool_(False), jnp.int32(0),
+                     jnp.int32(0x7FFFFFFF)))
     return px, starts, npix, pix_off, conv, rounds
 
 

@@ -125,3 +125,16 @@ def bench_suite(scale: int = 1) -> List[Tuple[str, np.ndarray]]:
         ("1080p_rgba", mixed(1920, 1080, 4)),
         ("4k_rgba", mixed(3840, 2160, 4)),
     ]
+
+
+def photo(w: int, h: int, ch: int, seed: int = 3) -> np.ndarray:
+    """The `mixed` four-region content with CONSTANT alpha (255) — the
+    canonical photo/texture class (qoi_benchmark_suite images carry a
+    constant alpha plane). Streams of this class have exact written-slot
+    estimates, so the parallel decoder converges in one fixpoint round;
+    `mixed`'s varying alpha + palette INDEX chains are the adversarial
+    case that exercises the sequential fallback ladder instead."""
+    img = mixed(w, h, ch, seed=seed).copy()
+    if ch == 4:
+        img[..., 3] = 255
+    return img

@@ -10,7 +10,10 @@ from qoi_tpu.models import (batch, decode_pipeline, decode_v2, decode_v3,
 from qoi_tpu.parallel import sharding, tiled, tiled_decode
 from qoi_tpu.utils import testimages
 
-pytestmark = pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+pytestmark = [
+    pytest.mark.skipif(not oracle.available(), reason="oracle not built"),
+    pytest.mark.slow,  # quick tier: -m "not slow"
+]
 
 
 def _mesh():

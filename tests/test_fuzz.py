@@ -14,7 +14,10 @@ import qoi_tpu.format as fmt
 from qoi_tpu import oracle
 from qoi_tpu.models import decode_pipeline, scan_codec
 
-pytestmark = pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+pytestmark = [
+    pytest.mark.skipif(not oracle.available(), reason="oracle not built"),
+    pytest.mark.slow,  # quick tier: -m "not slow"
+]
 
 
 def _oracle_try(data: bytes, channels: int):

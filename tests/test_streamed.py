@@ -8,7 +8,10 @@ from qoi_tpu import oracle
 from qoi_tpu.models import streamed
 from qoi_tpu.utils import testimages
 
-pytestmark = pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+pytestmark = [
+    pytest.mark.skipif(not oracle.available(), reason="oracle not built"),
+    pytest.mark.slow,  # quick tier: -m "not slow"
+]
 
 
 def _check(img, tile_px):

@@ -12,7 +12,10 @@ from qoi_tpu import oracle
 from qoi_tpu.parallel import sharding, tiled
 from qoi_tpu.utils import testimages
 
-pytestmark = pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+pytestmark = [
+    pytest.mark.skipif(not oracle.available(), reason="oracle not built"),
+    pytest.mark.slow,  # quick tier: -m "not slow"
+]
 
 
 def _mesh():
