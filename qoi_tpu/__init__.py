@@ -40,8 +40,17 @@ def encode(pixels, desc=None, engine: str = "tpu") -> bytes:
 
 def decode(data: bytes, channels: int = 0, engine: str = "tpu"):
     """Decode a QOI stream to ((h, w, ch) uint8, StreamDesc), pixel-identical
-    to the reference decoder (qoi.h:488)."""
+    to the reference decoder (qoi.h:488). Huge images (reference cap:
+    400 Mpx, qoi.h:329-332) automatically use the tile-streaming decoder
+    (models/streamed.py) so device memory stays O(tile)."""
     from . import io as _io
 
+    if engine == "tpu":
+        from .format import unpack_header
+
+        if unpack_header(data).num_pixels > STREAM_THRESHOLD_PX:
+            from .models import streamed
+
+            return streamed.decode(data, channels)
     _, dec = _io._engine(engine)
     return dec(data, channels)

@@ -122,7 +122,7 @@ def _make_kernel(tile: int, sub: int):
 @functools.partial(jax.jit, static_argnames=(
     "n_px_cap", "interpret", "tile", "sub"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
-              tile: int = _TILE, sub: int = _SUB):
+              tile: int = _TILE, sub: int = _SUB, seed32=None):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
@@ -145,8 +145,10 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     nblocks = -(-m // (_ROW * _BROWS)) + 2  # slack: qb + 1 always in range
     rows_pad = nblocks * _BROWS
 
+    seed = (jnp.int32(_SEED32) if seed32 is None
+            else jnp.asarray(seed32).view(jnp.int32).reshape(()))
     px_i = px32.view(jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), _SEED32, jnp.int32), px_i[:-1]])
+    prev = jnp.concatenate([seed[None], px_i[:-1]])
     d = px_i - prev
 
     def pad_to(x, n, fill):
@@ -183,16 +185,18 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     # rows are (tile, subtile) in order, lanes are pixels: row-major
     # flatten IS pixel order
     landed = landed.reshape(-1)[:n_px_cap]
-    return (jnp.cumsum(landed) + _SEED32).view(jnp.uint32)
+    return (jnp.cumsum(landed) + seed).view(jnp.uint32)
 
 
-def expand_px_xla(pix_off, px32, n_px_cap: int):
+def expand_px_xla(pix_off, px32, n_px_cap: int, seed32=None):
     """XLA reference path (one scatter-add + cumsum via the same
     telescoping identity) — fallback on non-TPU platforms and the
     differential oracle for the kernel tests."""
+    seed = (jnp.int32(_SEED32) if seed32 is None
+            else jnp.asarray(seed32).view(jnp.int32).reshape(()))
     px_i = px32.view(jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), _SEED32, jnp.int32), px_i[:-1]])
+    prev = jnp.concatenate([seed[None], px_i[:-1]])
     d = px_i - prev
     plane = jnp.zeros((n_px_cap,), jnp.int32).at[
         pix_off.astype(jnp.int32)].add(d, mode="drop", indices_are_sorted=True)
-    return (jnp.cumsum(plane) + _SEED32).view(jnp.uint32)
+    return (jnp.cumsum(plane) + seed).view(jnp.uint32)

@@ -127,12 +127,20 @@ def _fields(data: jnp.ndarray, chunks_len: jnp.ndarray):
     return starts, cls, r6, d32, lit32, npix
 
 
-def _initial_w(cls, r6, d32, lit32):
+def _initial_w(cls, r6, d32, lit32, entry_px32=None):
     """Optimistic per-byte written-slot estimate: reset-or-add affine scan
     mod 64 (v1's _initial_hashes at byte granularity, gather-free). The
     RGB reset uses the last RGBA literal's alpha — exact unless an INDEX
-    changed alpha in between (fixpoint-corrected)."""
+    changed alpha in between (fixpoint-corrected). `entry_px32` (traced
+    u32, default the seed pixel) sets the incoming px for tiled/streamed
+    chaining: its hash seeds the affine scan and its alpha the estimate."""
     m3, m5, m7, m11 = fmt.HASH_MULTIPLIERS
+    if entry_px32 is None:
+        entry_hash = jnp.int32(_SEED_HASH)
+        entry_alpha = jnp.int32(fmt.SEED_PIXEL[3])
+    else:
+        entry_hash = _hash_packed(entry_px32[None])[0]
+        entry_alpha = ((entry_px32 >> 24) & 0xFF).astype(jnp.int32)
     is_rgba = cls == _CLS_RGBA
     b2 = (lit32 & 0xFF).astype(jnp.int32)
     b3 = ((lit32 >> 8) & 0xFF).astype(jnp.int32)
@@ -149,9 +157,9 @@ def _initial_w(cls, r6, d32, lit32):
         return jnp.maximum(fa, fb), jnp.where(fb != 0, vb, va)
 
     afs, avs = scans.blocked_scan(acomb, (af, av))
-    alpha_after = jnp.where(afs != 0, avs, 255)
+    alpha_after = jnp.where(afs != 0, avs, entry_alpha)
     alpha_before = jnp.concatenate(
-        [jnp.full((1,), 255, jnp.int32), alpha_after[:-1]])
+        [entry_alpha[None], alpha_after[:-1]])
 
     reset_val = jnp.where(
         is_rgba, (m3 * b2 + m5 * b3 + m7 * b4 + m11 * b5) & 63,
@@ -174,7 +182,7 @@ def _initial_w(cls, r6, d32, lit32):
         return rb | ra, jnp.where(rb != 0, vb, (va + vb) & 63)
 
     rs, vs = scans.blocked_scan(hcomb, (r, v))
-    return jnp.where(rs != 0, vs, (vs + _SEED_HASH) & 63)
+    return jnp.where(rs != 0, vs, (vs + entry_hash) & 63)
 
 
 def _step_common(rec, px_root, px_val, src_root, src_val):
@@ -236,10 +244,12 @@ def _block_maps(meta, d32, lit32, nb: int, b: int):
     return root, val
 
 
-def _compose_entry_states(root, val, nb: int):
+def _compose_entry_states(root, val, nb: int, entry65=None):
     """Pass 2: inclusive associative compose of block maps (per-channel
-    one-hot lookups over the 65-entry axis), then application to the seed
-    state -> packed numeric 65-entry state at every block ENTRY."""
+    one-hot lookups over the 65-entry axis), then application to the
+    stream-entry state -> packed numeric 65-entry state at every block
+    ENTRY. `entry65` ((65,) packed u32: px + 64 slots, default seed px
+    and zeroed slots) supports tiled/streamed chaining."""
     # unpack per channel: (4, 65, nb) int32
     shifts = jnp.array([0, 8, 16, 24], jnp.uint32)[:, None, None]
     rc = ((root[None] >> shifts) & 0xFF).astype(jnp.int32)
@@ -261,13 +271,20 @@ def _compose_entry_states(root, val, nb: int):
     # combine's (4, 65, X) layout must stay fixed (one-hot over axis 2)
     rs, vs = jax.lax.associative_scan(comb, (rc, vc), axis=-1)
 
-    # apply to the initial state: entry px = seed, slots = 0
-    seed_c = jnp.array(fmt.SEED_PIXEL, jnp.int32)[:, None, None]
-    applied = jnp.where(rs == _ABS, vs,
-                        jnp.where(rs == 0, (vs + seed_c) & 0xFF, vs))
-    init_col = jnp.concatenate(
-        [seed_c[:, :, 0], jnp.zeros((4, 64), jnp.int32)], axis=1)[:, :, None]
-    entry = jnp.concatenate([init_col, applied[:, :, :-1]], axis=2)
+    # apply to the initial state (per channel (4, 65)): the composed map's
+    # root r means "entry state's entry r" — a one-hot lookup into init
+    if entry65 is None:
+        seed_c = jnp.array(fmt.SEED_PIXEL, jnp.int32)[:, None]
+        init = jnp.concatenate(
+            [seed_c, jnp.zeros((4, 64), jnp.int32)], axis=1)  # (4, 65)
+    else:
+        sh1 = jnp.array([0, 8, 16, 24], jnp.uint32)[:, None]
+        init = ((entry65[None] >> sh1) & 0xFF).astype(jnp.int32)  # (4, 65)
+    looked = jnp.sum(
+        jnp.where(rs[:, :, None, :] == k[None, None, :, None],
+                  init[:, None, :, None], 0), axis=2)  # (4, 65, nb)
+    applied = jnp.where(rs == _ABS, vs, (vs + looked) & 0xFF)
+    entry = jnp.concatenate([init[:, :, None], applied[:, :, :-1]], axis=2)
     packed = (entry[0].astype(jnp.uint32)
               | entry[1].astype(jnp.uint32) << 8
               | entry[2].astype(jnp.uint32) << 16
@@ -277,7 +294,10 @@ def _compose_entry_states(root, val, nb: int):
 
 def _numeric_scan(meta, d32, lit32, entry, nb: int):
     """Pass 3: numeric re-scan from per-block entry states; emits the px
-    value after every byte position. Returns (B, nb) uint32."""
+    value after every byte position. Returns ((B, nb) uint32 px,
+    (65,) uint32 exit state = the 65-entry state after the LAST block's
+    last position — padding bytes are identity, so this is the stream's
+    exit state for tile chaining)."""
     rows = jnp.arange(65, dtype=jnp.int32)[:, None]
 
     def step(val, rec):
@@ -289,8 +309,8 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
         val2 = jnp.where(mask, new_val[None, :], val)
         return val2, val2[0]
 
-    _, px = jax.lax.scan(step, entry, (meta, d32, lit32))
-    return px
+    final, px = jax.lax.scan(step, entry, (meta, d32, lit32))
+    return px, final[:, -1]
 
 
 def _scan_block_len(m: int) -> int:
@@ -304,9 +324,9 @@ def _scan_block_len(m: int) -> int:
     return b
 
 
-def _resolve(cls, r6, w, d32, lit32, m: int, b: int):
-    """One full symbolic resolve given written slots w. Returns px32 (M,)
-    uint32: the decoder's px value after every byte position."""
+def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None):
+    """One full symbolic resolve given written slots w. Returns (px32 (M,)
+    uint32: the decoder's px value after every byte position, exit65)."""
     nb = m // b
     meta = (cls | (w << 3) | (r6 << 9)).astype(jnp.int32)
 
@@ -315,24 +335,28 @@ def _resolve(cls, r6, w, d32, lit32, m: int, b: int):
 
     meta_p, d32_p, lit32_p = pos_major(meta), pos_major(d32), pos_major(lit32)
     root, val = _block_maps(meta_p, d32_p, lit32_p, nb, b)
-    entry = _compose_entry_states(root, val, nb)
-    px = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
-    return px.T.reshape(m)
+    entry = _compose_entry_states(root, val, nb, entry65)
+    px, exit65 = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
+    return px.T.reshape(m), exit65
 
 
 def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
-                 max_rounds: int = _MAX_ROUNDS):
+                 max_rounds: int = _MAX_ROUNDS, entry65=None):
     """Full chunk-level decode to per-byte px values + bookkeeping.
-    Returns (px32 (M,) u32, starts, npix, pix_off, converged, rounds)."""
+    Returns (px32 (M,) u32, starts, npix, pix_off, converged, rounds,
+    exit65). `entry65` ((65,) packed u32 incoming state, default seed)
+    supports streamed/tiled chaining; exit65 is the matching outgoing
+    state (valid only when converged)."""
     m = data.shape[0]
     b = _scan_block_len(m)
     starts, cls, r6, d32, lit32, npix = _fields(data, chunks_len)
     pix_off = scans.exclusive_cumsum(npix)
-    w0 = jnp.where(starts, _initial_w(cls, r6, d32, lit32), 0)
+    entry_px32 = None if entry65 is None else entry65[0]
+    w0 = jnp.where(starts, _initial_w(cls, r6, d32, lit32, entry_px32), 0)
 
     def body(state):
-        w, _, _, it, prev_bad = state
-        px = _resolve(cls, r6, w, d32, lit32, m, b)
+        w, _, _, it, prev_bad, _ = state
+        px, exit65 = _resolve(cls, r6, w, d32, lit32, m, b, entry65)
         true_w = jnp.where(starts, _hash_packed(px), 0)
         bad = jnp.sum((true_w != w).astype(jnp.int32))
         # bail early (bad = -1 flag) when the mismatch count stops
@@ -342,17 +366,18 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
         # delay the sequential fallback
         stalled = (bad > 0) & (bad >= prev_bad)
         return (true_w, px, bad == 0, it + 1,
-                jnp.where(stalled, jnp.int32(-1), bad))
+                jnp.where(stalled, jnp.int32(-1), bad), exit65)
 
     def cond(state):
-        _, _, conv, it, bad = state
+        _, _, conv, it, bad, _ = state
         return ~conv & (it < max_rounds) & (bad != -1)
 
     px0 = jnp.zeros((m,), jnp.uint32)
-    w, px, conv, rounds, _ = jax.lax.while_loop(
+    exit0 = jnp.zeros((65,), jnp.uint32)
+    w, px, conv, rounds, _, exit65 = jax.lax.while_loop(
         cond, body, (w0, px0, jnp.bool_(False), jnp.int32(0),
-                     jnp.int32(0x7FFFFFFF)))
-    return px, starts, npix, pix_off, conv, rounds
+                     jnp.int32(0x7FFFFFFF), exit0))
+    return px, starts, npix, pix_off, conv, rounds, exit65
 
 
 def _expand_packed(starts, px32, pix_off, n_px_cap: int,
@@ -383,7 +408,7 @@ def _use_kernel_default() -> bool:
                    static_argnames=("n_px_cap", "max_rounds", "use_kernel"))
 def _decode_device(data, chunks_len, n_px_cap: int,
                    max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False):
-    px, starts, npix, pix_off, conv, rounds = _decode_core(
+    px, starts, npix, pix_off, conv, rounds, _ = _decode_core(
         data, chunks_len, max_rounds)
     out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel)
     return out, conv, rounds

@@ -144,9 +144,13 @@ def encode(pixels: np.ndarray, desc: fmt.StreamDesc) -> bytes:
     return fmt.pack_header(desc) + body.tobytes() + fmt.TRAILER
 
 
-def _decode_scan(data: jnp.ndarray, n_px: int, chunks_len: int):
+def _decode_scan(data: jnp.ndarray, n_px: int, chunks_len,
+                 entry_px=None, entry_table=None):
     """Scan over output pixels (reference qoi.h:540-587). data: padded uint8
-    stream starting at the first chunk byte; chunks_len: bytes before trailer."""
+    stream starting at the first chunk byte; chunks_len: bytes before trailer
+    (traced ok). `entry_px` (4,) u8 / `entry_table` (64, 4) u8 chain tile
+    state for the streamed decoder; returns (pixels (n_px, 4),
+    (exit_px, exit_table))."""
 
     def step(carry, _):
         px, run, table, p = carry
@@ -198,12 +202,21 @@ def _decode_scan(data: jnp.ndarray, n_px: int, chunks_len: int):
         new_table = jnp.where(has_chunk, table.at[_hash64(new_px)].set(new_px), table)
         return (new_px, new_run, new_table, new_p), new_px
 
-    init = (_SEED, jnp.int32(0), jnp.zeros((64, 4), jnp.uint8), jnp.int32(0))
-    _, out = jax.lax.scan(step, init, None, length=n_px)
-    return out
+    init = (
+        _SEED if entry_px is None else jnp.asarray(entry_px, jnp.uint8),
+        jnp.int32(0),
+        (jnp.zeros((64, 4), jnp.uint8) if entry_table is None
+         else jnp.asarray(entry_table, jnp.uint8)),
+        jnp.int32(0),
+    )
+    final, out = jax.lax.scan(step, init, None, length=n_px)
+    return out, (final[0], final[2])
 
 
-_decode_scan_jit = jax.jit(_decode_scan, static_argnums=(1, 2))
+_decode_scan_jit = jax.jit(
+    lambda data, n_px, chunks_len: _decode_scan(data, n_px, chunks_len)[0],
+    static_argnums=(1,))
+_decode_scan_entry_jit = jax.jit(_decode_scan, static_argnums=(1,))
 
 
 def decode(data: bytes, channels: int = 0) -> Tuple[np.ndarray, fmt.StreamDesc]:

@@ -59,15 +59,18 @@ def _compose_maps(a, b):
     return c
 
 
-def chunk_starts(data: jnp.ndarray, chunks_len) -> jnp.ndarray:
-    """Boolean chunk-start mask over the byte stream.
+def chunk_starts_and_state(data: jnp.ndarray, chunks_len):
+    """(starts, state_before) over the byte stream.
 
     data: (M,) uint8 chunk bytes (stream minus 14-byte header; may include
     the 8-byte trailer — positions >= chunks_len are never marked, matching
     the reference's `p < chunks_len` read guard, qoi.h:544).
     chunks_len: traced int32 count of real chunk bytes.
 
-    Returns (M,) bool, True where a chunk begins.
+    Returns ((M,) bool starts, (M,) int8 bytes-remaining-before-byte-i).
+    `state_before[i]` is how many bytes of the current chunk still precede
+    the next chunk start at position i (0 = i starts a chunk) — the
+    streamed decoder uses it to end tiles exactly at chunk boundaries.
     """
     from . import scans
 
@@ -82,4 +85,11 @@ def chunk_starts(data: jnp.ndarray, chunks_len) -> jnp.ndarray:
     state_before = jnp.concatenate(
         [jnp.zeros((1,), jnp.int8), state_after[:-1]])
     io = jnp.arange(m, dtype=jnp.int32)
-    return (state_before == 0) & (io < jnp.asarray(chunks_len, jnp.int32))
+    starts = (state_before == 0) & (io < jnp.asarray(chunks_len, jnp.int32))
+    return starts, state_before
+
+
+def chunk_starts(data: jnp.ndarray, chunks_len) -> jnp.ndarray:
+    """Boolean chunk-start mask over the byte stream (see
+    chunk_starts_and_state)."""
+    return chunk_starts_and_state(data, chunks_len)[0]

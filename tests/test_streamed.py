@@ -45,3 +45,77 @@ def test_streamed_odd_sizes_and_padding():
 def test_streamed_single_tile_path():
     img = testimages.mixed(50, 20, 3)
     _check(img, 1 << 22)
+
+
+# ---------------------------------------------------------------------------
+# Streamed DECODE (huge-image tile-serial driver; VERDICT round-1 gap #4)
+# ---------------------------------------------------------------------------
+
+def _check_decode(img, tile_bytes, channels=0, max_rounds=12):
+    h, w, ch = img.shape
+    stream = oracle.encode(img, fmt.StreamDesc(w, h, ch))
+    got, desc = streamed.decode(
+        stream, channels=channels, tile_bytes=tile_bytes,
+        max_rounds=max_rounds)
+    want, _ = oracle.decode(stream, channels)
+    assert desc.width == w and desc.height == h
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("tile_bytes", [2048, 8192])
+def test_streamed_decode_multi_tile(tile_bytes):
+    _check_decode(testimages.photo(200, 120, 4, seed=7), tile_bytes)
+
+
+def test_streamed_decode_rgb():
+    _check_decode(testimages.mixed(150, 90, 3, seed=5), 4096)
+
+
+def test_streamed_decode_runs_cross_tiles():
+    # one giant run: a single tile emits far more pixels than bytes
+    _check_decode(testimages.flat(500, 40, 4), 1024)
+
+
+def test_streamed_decode_table_reuse_across_tiles():
+    _check_decode(testimages.palette(128, 60, 4, colors=7, seed=9), 2048)
+
+
+def test_streamed_decode_channel_forcing():
+    _check_decode(testimages.photo(100, 60, 4), 2048, channels=3)
+    _check_decode(testimages.mixed(80, 50, 3), 2048, channels=4)
+
+
+def test_streamed_decode_truncated_stream():
+    img = testimages.photo(100, 60, 4)
+    stream = oracle.encode(img, fmt.StreamDesc(100, 60, 4))
+    trunc = stream[: len(stream) // 2]
+    want, _ = oracle.decode(trunc)
+    got, _ = streamed.decode(trunc, tile_bytes=2048)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_decode_fallback_tiles():
+    """max_rounds=1 forces non-convergence on alpha-varying + INDEX-heavy
+    tiles: the sequential fallback must chain entry/exit state exactly."""
+    img = testimages.mixed(123, 77, 4, seed=2)
+    _check_decode(img, 2048, max_rounds=1)
+
+
+def test_streamed_decode_matches_default_engine():
+    img = testimages.photo(90, 70, 4, seed=11)
+    stream = oracle.encode(img, fmt.StreamDesc(90, 70, 4))
+    a, _ = streamed.decode(stream, tile_bytes=1024)
+    from qoi_tpu.models import decode_v3
+    b, _ = decode_v3.decode(stream)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_facade_streams_huge_decode(monkeypatch):
+    """qoi_tpu.decode routes past-threshold streams to the tile driver."""
+    import qoi_tpu
+
+    img = testimages.photo(120, 80, 4, seed=13)
+    stream = oracle.encode(img, fmt.StreamDesc(120, 80, 4))
+    monkeypatch.setattr(qoi_tpu, "STREAM_THRESHOLD_PX", 1000)
+    out, _ = qoi_tpu.decode(stream)
+    np.testing.assert_array_equal(out, img)
