@@ -175,6 +175,55 @@ def synthetic_suite(kind: str = "full"):
     return testimages.bench_suite()
 
 
+def scaling_sweep(opts) -> int:
+    """Tiled (sequence-parallel) encode+decode over growing meshes; prints
+    per-shard-count Mpx/s and scaling efficiency (SURVEY §5.5: N-host
+    Mpx/s / (N x 1-host Mpx/s); BASELINE target >=85% on real slices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from . import format as fmt
+    from .parallel import sharding, tiled, tiled_decode
+    from .utils import profiling, testimages
+
+    devs = jax.devices()
+    img = testimages.photo(1024, 512, 4)
+    desc = fmt.StreamDesc(1024, 512, 4)
+    stream = None
+    enc_mpps, dec_mpps = {}, {}
+    n_px = desc.num_pixels
+    s = 1
+    while s <= len(devs):
+        mesh = Mesh(np.asarray(devs[:s]).reshape(s), (sharding.SEQ_AXIS,))
+        dt = profiling.device_sync_time(
+            lambda m=mesh: jnp.asarray(
+                len(tiled.encode_tiled(img, desc, m))), reps=opts.runs)
+        enc_mpps[s] = n_px / 1e6 / dt
+        if stream is None:
+            stream = tiled.encode_tiled(img, desc, mesh)
+        ddt = profiling.device_sync_time(
+            lambda m=mesh: jnp.asarray(
+                tiled_decode.decode_tiled(stream, m)[0].sum()),
+            reps=opts.runs)
+        dec_mpps[s] = n_px / 1e6 / ddt
+        s *= 2
+
+    enc_eff = profiling.scaling_efficiency(enc_mpps)
+    dec_eff = profiling.scaling_efficiency(dec_mpps)
+    print("# scaling sweep (tiled single-stream, 1024x512 RGBA)")
+    print("shards   encode mpps   eff     decode mpps   eff")
+    for k in sorted(enc_mpps):
+        print(f"{k:6d}   {enc_mpps[k]:11.2f}   {enc_eff[k]:5.2f}   "
+              f"{dec_mpps[k]:11.2f}   {dec_eff[k]:5.2f}")
+    if opts.json:
+        print(json.dumps({
+            "encode_mpps": enc_mpps, "encode_eff": enc_eff,
+            "decode_mpps": dec_mpps, "decode_eff": dec_eff,
+        }, default=float))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="qoi-tpu-bench", description="QOI benchmark harness (TPU engine)")
@@ -188,9 +237,18 @@ def main(argv=None) -> int:
         ap.add_argument(f"--{flag}", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="print a JSON grand-total line")
+    ap.add_argument("--scaling", action="store_true",
+                    help="sequence-parallel scaling sweep: encode one "
+                         "image tiled over 1..N devices and report Mpx/s "
+                         "plus scaling efficiency per shard count "
+                         "(BASELINE's >=85%% target; honest numbers need "
+                         "real chips — on the forced-CPU test mesh this "
+                         "exercises the code path, not the ICI)")
     opts = ap.parse_args(argv)
     if opts.runs < 1:
         ap.error("runs must be >= 1")
+    if opts.scaling:
+        return scaling_sweep(opts)
 
     images = []
     if opts.synthetic:

@@ -87,3 +87,14 @@ def decode_sol_model(n_px: int, channels: int, rate: float = 0.45,
         "sol_seconds": total / bw,
         "sol_mpps": (n_px / 1e6) / (total / bw),
     }
+
+
+def scaling_efficiency(mpps_by_shards):
+    """BASELINE's scaling metric: efficiency[s] = Mpx/s at s shards
+    divided by (s x Mpx/s at 1 shard). mpps_by_shards: {shard_count:
+    mpps}. Returns {shard_count: efficiency in [0, ~1]}; requires the
+    1-shard entry."""
+    base = mpps_by_shards[1]
+    if base <= 0:
+        raise ValueError("1-shard throughput must be positive")
+    return {s: v / (s * base) for s, v in sorted(mpps_by_shards.items())}
