@@ -18,6 +18,17 @@ tiled/streamed paths:
 All within-block scans (last-non-eq cummax, last-writer overwrite) are
 log2(B) roll+select doubling passes on VMEM blocks — no gathers, no
 scatters, no cross-block HBM traffic.
+
+Status (round 2): compiles and runs BIT-EXACT on real TPU v5e at
+block=1024 after removing a redundant has-entry reduction that crashed
+Mosaic (see the `hit` comment below). Measured 145 ms vs 56 ms for the
+XLA stages at 4K on this platform: the sequential grid (8.1k steps
+carrying encoder state) pays ~5 us/step of grid overhead and the
+narrow (B, 4)/(B, 6)/(B, 1) block shapes lane-pad; block >= 2048 still
+crashes the remote Mosaic helper. The XLA formulation therefore stays
+the production path; this kernel is the hardware-validated fused
+alternative and the template for a future lane-major restructuring
+(PERF_NOTES.md round-2 notes).
 """
 from __future__ import annotations
 
@@ -135,9 +146,12 @@ def _kernel(nv_ref, last_ref, px_ref, stag_ref, len_ref,
     eff_w = (ex_w != 0) | (jnp.broadcast_to(carry_w, ex_w.shape) != 0)
     sel = key[:, None] == slots
     before = jnp.sum(jnp.where(sel & eff_w, eff_v, 0), axis=1)
-    has_entry = jnp.sum(jnp.where(sel & eff_w, 1, 0), axis=1) > 0
-    # zero table entries decode as packed 0 == pixel (0,0,0,0)
-    hit = ~eq & jnp.where(has_entry, before == packed, packed == 0)
+    # no separate has-entry reduction (a second masked sum over the slot
+    # axis crashes the Mosaic compiler when combined with the classifier
+    # select chain): an unwritten slot sums to packed 0, and packed 0 IS
+    # the zero pixel (0,0,0,0) the reference's zeroed table would match,
+    # so `before == packed` alone is bit-exact
+    hit = ~eq & (before == packed)
 
     # -- classification (qoi.h:438-474), int8 wraparound via mod-256
     d = (px[:, :3] - prev[:, :3]) & 0xFF
