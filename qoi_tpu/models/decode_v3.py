@@ -208,39 +208,49 @@ def _step_common(rec, px_root, px_val, src_root, src_val):
 
 def _select_row(rows, idx, plane):
     """plane[idx[n], n] without a gather: one-hot masked sum over the
-    (tiny) 65-row axis. rows: (65, 1) iota; idx: (nb,); plane: (65, nb)."""
+    (tiny) row axis. rows: (R, 1) iota; idx: (nb,); plane: (R, nb)."""
     sel = rows == idx[None, :]
     return jnp.sum(jnp.where(sel, plane, 0), axis=0,
                    dtype=plane.dtype)
 
 
-def _write_mask(rows, meta):
-    cls = meta & 7
-    w = (meta >> 3) & 63
-    return ((rows == 0) | (rows == 1 + w[None, :])) & (cls != _CLS_ID)[None, :]
-
-
 def _block_maps(meta, d32, lit32, nb: int, b: int):
     """Pass 1: per-block symbolic 65-entry maps. Inputs are (B, nb)
-    position-major records. Returns (root (65, nb), val (65, nb)) uint32."""
-    rows = jnp.arange(65, dtype=jnp.int32)[:, None]
-    root0 = jnp.broadcast_to(
-        (rows.astype(jnp.uint32) * jnp.uint32(0x01010101)), (65, nb))
-    val0 = jnp.zeros((65, nb), jnp.uint32)
+    position-major records. Returns (root (65, nb), val (65, nb)) uint32.
+
+    The px entry (row 0) rides as its own (nb,) vector inside the scan —
+    keeping it out of the table plane shrinks the per-step one-hot work
+    to exactly 64 rows (8 full vregs) and turns the row-0 write into a
+    cheap vector select."""
+    rows = jnp.arange(64, dtype=jnp.int32)[:, None]  # table slots only
+    px_root0 = jnp.zeros((nb,), jnp.uint32)          # root 0 = entry px
+    px_val0 = jnp.zeros((nb,), jnp.uint32)
+    troot0 = jnp.broadcast_to(
+        ((1 + rows).astype(jnp.uint32) * jnp.uint32(0x01010101)), (64, nb))
+    tval0 = jnp.zeros((64, nb), jnp.uint32)
 
     def step(state, rec):
-        root, val = state
+        px_root, px_val, troot, tval = state
         meta_i = rec[0]
+        cls = meta_i & 7
         r6 = (meta_i >> 9) & 63
-        src_root = _select_row(rows, 1 + r6, root)
-        src_val = _select_row(rows, 1 + r6, val)
+        w = (meta_i >> 3) & 63
+        src_root = _select_row(rows, r6, troot)
+        src_val = _select_row(rows, r6, tval)
         new_root, new_val = _step_common(
-            rec, root[0], val[0], src_root, src_val)
-        mask = _write_mask(rows, meta_i)
-        return (jnp.where(mask, new_root[None, :], root),
-                jnp.where(mask, new_val[None, :], val)), None
+            rec, px_root, px_val, src_root, src_val)
+        live = cls != _CLS_ID
+        px_root = jnp.where(live, new_root, px_root)
+        px_val = jnp.where(live, new_val, px_val)
+        mask = (rows == w[None, :]) & live[None, :]
+        return (px_root, px_val,
+                jnp.where(mask, new_root[None, :], troot),
+                jnp.where(mask, new_val[None, :], tval)), None
 
-    (root, val), _ = jax.lax.scan(step, (root0, val0), (meta, d32, lit32))
+    (px_root, px_val, troot, tval), _ = jax.lax.scan(
+        step, (px_root0, px_val0, troot0, tval0), (meta, d32, lit32))
+    root = jnp.concatenate([px_root[None], troot], axis=0)
+    val = jnp.concatenate([px_val[None], tval], axis=0)
     return root, val
 
 
@@ -298,19 +308,26 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
     (65,) uint32 exit state = the 65-entry state after the LAST block's
     last position — padding bytes are identity, so this is the stream's
     exit state for tile chaining)."""
-    rows = jnp.arange(65, dtype=jnp.int32)[:, None]
+    rows = jnp.arange(64, dtype=jnp.int32)[:, None]  # table slots only
 
-    def step(val, rec):
+    def step(state, rec):
+        px_val, tval = state
         meta_i = rec[0]
+        cls = meta_i & 7
         r6 = (meta_i >> 9) & 63
-        src_val = _select_row(rows, 1 + r6, val)
-        _, new_val = _step_common(rec, None, val[0], None, src_val)
-        mask = _write_mask(rows, meta_i)
-        val2 = jnp.where(mask, new_val[None, :], val)
-        return val2, val2[0]
+        w = (meta_i >> 3) & 63
+        src_val = _select_row(rows, r6, tval)
+        _, new_val = _step_common(rec, None, px_val, None, src_val)
+        live = cls != _CLS_ID
+        px_val = jnp.where(live, new_val, px_val)
+        mask = (rows == w[None, :]) & live[None, :]
+        tval = jnp.where(mask, new_val[None, :], tval)
+        return (px_val, tval), px_val
 
-    final, px = jax.lax.scan(step, entry, (meta, d32, lit32))
-    return px, final[:, -1]
+    (px_f, tval_f), px = jax.lax.scan(
+        step, (entry[0], entry[1:]), (meta, d32, lit32))
+    exit65 = jnp.concatenate([px_f[-1:], tval_f[:, -1]])
+    return px, exit65
 
 
 def _scan_block_len(m: int) -> int:
