@@ -17,14 +17,57 @@ extern "C" int LLVMFuzzerTestOneInput(const uint8_t* data, size_t size) {
 }
 
 // Standalone driver (`make fuzz-asan`, g++ + ASan/UBSan, no libFuzzer):
-// random inputs plus mutated canonical streams for a fixed iteration count.
+// random inputs plus mutated canonical streams for a fixed iteration
+// count, or — when the argument is a directory — corpus REPLAY: every
+// file under it is fed through the same LLVMFuzzerTestOneInput entry
+// (the clang/libFuzzer workflow's crash-corpus replay, runnable here
+// without clang).
 #ifdef QOIFUZZ_STANDALONE
+#include <dirent.h>
+#include <sys/stat.h>
+
 #include <cstdio>
 #include <cstdlib>
 #include <random>
+#include <string>
 #include <vector>
 
+static int replay_dir(const std::string& dir) {
+  int n = 0;
+  DIR* d = opendir(dir.c_str());
+  if (!d) return -1;
+  while (dirent* e = readdir(d)) {
+    const std::string name = e->d_name;
+    if (name == "." || name == "..") continue;
+    const std::string full = dir + "/" + name;
+    struct stat st;
+    if (stat(full.c_str(), &st) != 0) continue;
+    if (S_ISDIR(st.st_mode)) {
+      n += replay_dir(full);
+      continue;
+    }
+    FILE* f = std::fopen(full.c_str(), "rb");
+    if (!f) continue;
+    std::vector<uint8_t> buf(size_t(st.st_size));
+    if (std::fread(buf.data(), 1, buf.size(), f) == buf.size()) {
+      LLVMFuzzerTestOneInput(buf.data(), buf.size());
+      ++n;
+    }
+    std::fclose(f);
+  }
+  closedir(d);
+  return n;
+}
+
 int main(int argc, char** argv) {
+  if (argc > 1) {
+    struct stat st;
+    if (stat(argv[1], &st) == 0 && S_ISDIR(st.st_mode)) {
+      const int n = replay_dir(argv[1]);
+      std::printf("qoifuzz-asan: replayed %d corpus files clean\n", n);
+      return n >= 0 ? 0 : 1;
+    }
+  }
   const int iters = argc > 1 ? std::atoi(argv[1]) : 20000;
   std::mt19937 rng(42);
 

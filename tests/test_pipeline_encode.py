@@ -73,3 +73,20 @@ def test_compact_merge_equals_scatter():
     b, tb = compact.compact_bytes_merge(jnp.asarray(staging), jnp.asarray(lens))
     assert int(ta) == int(tb) == lens.sum()
     assert np.array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
+
+
+@pytest.mark.parametrize("n", [4096 * 3, 4096 * 2 + 100, 512])
+def test_compact_bytes6_both_tiers(n):
+    """compact_bytes6's two-tier segment-sort path (n divisible by the
+    4096 segment, n >= 2 segments) and its global-sort fallback must agree
+    with the plain sort-based compaction byte for byte."""
+    rng = np.random.default_rng(n)
+    k = 6
+    staging = rng.integers(1, 256, size=(n, k), dtype=np.uint8)
+    lens = rng.integers(0, k + 1, size=(n,)).astype(np.int32)
+    cap = n * k
+    a, ta = compact.compact_bytes6(
+        jnp.asarray(staging.T.copy()), jnp.asarray(lens), cap)
+    b, tb = compact.compact_bytes(jnp.asarray(staging), jnp.asarray(lens), cap)
+    assert int(ta) == int(tb) == lens.sum()
+    assert np.array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
