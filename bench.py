@@ -147,8 +147,13 @@ def main() -> None:
         raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
         bodies[i, : len(raw)] = raw
         clens[i] = len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
-    dbatch = jax.device_put(jnp.asarray(bodies))
-    dclens = jax.device_put(jnp.asarray(clens))
+    # decode batch = 2x the uploaded streams, duplicated ON DEVICE (the
+    # ~3 MB/s host tunnel makes re-uploading 134 MB pointless): batch 16
+    # measured ~7% over batch 8 (one more halving of program overhead)
+    dbatch = jnp.concatenate([jnp.asarray(bodies)] * 2, axis=0)
+    dbatch = jax.device_put(dbatch)
+    dclens = jax.device_put(jnp.asarray(np.concatenate([clens, clens])))
+    dec_batch = 2 * BATCH
 
     use_kernel = dev.platform == "tpu"
 
@@ -181,8 +186,8 @@ def main() -> None:
     t0 = time.perf_counter()
     out = decode_frames()
     log(f"decode compile+first run: {time.perf_counter() - t0:.0f}s")
-    for i in range(BATCH):
-        if not bool(jax.device_get(check_one(out[i], dsources[i]))):
+    for i in range(dec_batch):
+        if not bool(jax.device_get(check_one(out[i], dsources[i % BATCH]))):
             log(f"VERIFY FAILED: frame {i} decode mismatches source pixels")
             print(json.dumps({
                 "metric": "encode_4k_rgba_batch_throughput",
@@ -192,13 +197,13 @@ def main() -> None:
                 "verify_failed": True,
             }))
             sys.exit(1)
-    log(f"verified: all {BATCH} decodes pixel-identical to source (on device)")
+    log(f"verified: all {dec_batch} decodes pixel-identical to source (on device)")
 
     ddt = profiling.device_sync_time(
         lambda: decode_frames()[0, :1], reps=REPS)
-    dec_mpxs = (BATCH * n / 1e6) / ddt
-    dec_sol = profiling.decode_sol_model(BATCH * n, 4)
-    log(f"decode {BATCH}x4K RGBA: {ddt * 1e3:.2f} ms/batch, {dec_mpxs:.1f} "
+    dec_mpxs = (dec_batch * n / 1e6) / ddt
+    dec_sol = profiling.decode_sol_model(dec_batch * n, 4)
+    log(f"decode {dec_batch}x4K RGBA: {ddt * 1e3:.2f} ms/batch, {dec_mpxs:.1f} "
         f"Mpx/s, SOL fraction {dec_mpxs / dec_sol['sol_mpps']:.3f}")
 
     print(json.dumps({
