@@ -60,8 +60,21 @@ _ROW = 64           # byte positions per record row
 _RLANES = 128       # row lanes: po 64 | d 64
 _TILE = 1024        # output pixels per grid step
 _SUB = 128          # pixels per subtile (lanes of one output row)
-_BROWS = 128        # rows per DMA block (two adjacent blocks per tile)
 _INF = np.int32(0x7FFFFFF0)
+
+
+def _brows(tile: int) -> int:
+    """Rows per DMA block: the adjacent block pair must cover a tile's
+    landing bytes (<= 5*tile + tail positions from the first landing
+    byte), and _ROW * brows must stay a power of two so the searchsorted
+    anchor is a plain shift. Grid steps scale as 1/tile while the DMA
+    volume per step scales as tile, so total DMA volume is constant
+    (~80 B/px) — bigger tiles purely amortize the ~5-7 us per-step
+    grid/DMA-issue overhead (PERF_NOTES.md)."""
+    b = 128
+    while tile * 5 + 8 > _ROW * b:
+        b <<= 1
+    return b
 
 
 def _frows(sub: int) -> int:
@@ -76,53 +89,104 @@ _SEED32 = np.int32(np.uint32(
     | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24).view(np.int32))
 
 
-def _make_kernel(tile: int, sub: int):
+def _make_kernel(tile: int, sub: int, accum: str = "sum"):
     frows = _frows(sub)
+    brows = _brows(tile)
+
+    nsub = tile // sub
 
     def kernel(qb_ref, rec_a, rec_b, out_ref, win):
         t = pl.program_id(0)
         base_t = t * tile
-        win[0:_BROWS, :] = rec_a[...]
-        win[_BROWS:2 * _BROWS, :] = rec_b[...]
-        rowfirst = win[:, 0:1]                        # (256, 1) nondecreasing
+        win[0:brows, :] = rec_a[...]
+        win[brows:2 * brows, :] = rec_b[...]
+        rowfirst = win[:, 0:1]                       # (2*brows, 1) nondecr.
 
-        for s in range(tile // sub):
+        # fine-window anchors for ALL subtiles in one vector op: count
+        # rows whose first offset is <= each subtile base. A per-subtile
+        # (2*brows, 1) reduction costs O(brows) narrow-vector work per
+        # subtile (made bigger blocks slower: 65 -> 83 ms, 1k -> 8k
+        # tile); an XLA-side searchsorted prefetch is worse still under
+        # vmap (its 'scan' method is a gather loop). One broadcast
+        # compare + column sum amortizes the narrow shape across nsub.
+        bases = base_t + sub * jax.lax.broadcasted_iota(
+            jnp.int32, (1, nsub), 1)
+        cnts = jnp.sum((rowfirst <= bases).astype(jnp.int32),
+                       axis=0, keepdims=True)        # (1, nsub)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1)
+
+        for s in range(nsub):
             base_s = base_t + s * sub
-            # rows whose first offset is <= base_s: with r* = count - 1,
+            # rows whose first offset is <= base_s: with r* = cnt - 1,
             # all bytes landing in the subtile live in rows
             # [r* - 1, r* + ceil(sub/12) + 1] (a chunk start with offset
             # == base_s can sit one row earlier, its tail bytes carrying
             # the same offset into row r*; rows advance offsets by >= 12
             # px — >= 12 chunk starts per 64 bytes)
-            cnt = jnp.sum((rowfirst <= base_s).astype(jnp.int32))
+            cnt = jnp.sum(jnp.where(lane == s, cnts, 0))
             # Mosaic must statically prove the sublane start is a
             # multiple of 8: `x * 8` AFTER the clip is the spelling its
             # divisibility analysis accepts (`x << 3` is not);
             # floor-align(r* - 1) keeps the window inside the scratch
-            row0 = jnp.clip((cnt - 2) >> 3, 0, (2 * _BROWS - frows) // 8) * 8
+            row0 = jnp.clip((cnt - 2) >> 3, 0, (2 * brows - frows) // 8) * 8
 
             fine = win[pl.ds(row0, frows), :]         # (frows, 128)
             p_col = base_s + jax.lax.broadcasted_iota(
                 jnp.int32, (sub, 1), 0)
 
-            acc = jnp.zeros((sub, _ROW), jnp.int32)
-            for r in range(frows):
-                po_r = fine[r:r + 1, 0:_ROW]          # (1, 64)
-                d_r = fine[r:r + 1, _ROW:2 * _ROW]
-                acc = acc + jnp.where(po_r == p_col, d_r, 0)
+            if accum == "sum":
+                acc = jnp.zeros((sub, _ROW), jnp.int32)
+                for r in range(frows):
+                    po_r = fine[r:r + 1, 0:_ROW]      # (1, 64)
+                    d_r = fine[r:r + 1, _ROW:2 * _ROW]
+                    acc = acc + jnp.where(po_r == p_col, d_r, 0)
 
-            # one output row per subtile, pixels on LANES: a (pixels, 1)
-            # output pads its 1-lane minor dim 128x in HBM and the padded
-            # writes alone cost more than the kernel's compute
-            out_ref[s, :] = jnp.sum(acc, axis=1)
+                # one output row per subtile, pixels on LANES: a
+                # (pixels, 1) output pads its 1-lane minor dim 128x in
+                # HBM and the padded writes alone cost more than compute
+                out_ref[s, :] = jnp.sum(acc, axis=1)
+            else:  # accum == "dot": MXU one-hot contraction
+                # the VPU cmp+select+add chain above is the kernel's
+                # dominant cost (3 ops x 8 vregs x frows per subtile,
+                # tile-size independent — measured ~44 ms real at 16.7M
+                # bytes). Here each row's select+add+final-reduce moves
+                # to the MXU: one-hot match matrix (bf16, exact for 0/1)
+                # contracted against the delta's 4 unsigned byte planes
+                # (each 0..255, exact in bf16; at most one nonzero
+                # product per pixel so the f32 accumulator is exact).
+                accf = jnp.zeros((8, sub), jnp.float32)
+                for r in range(frows):
+                    po_r = fine[r:r + 1, 0:_ROW]      # (1, 64)
+                    d_r = fine[r:r + 1, _ROW:2 * _ROW]
+                    # the i1 compare mask must be consumed at the i32
+                    # tiling: a direct bf16 select relayouts the mask
+                    # (8,128)->(16,128), which Mosaic rejects ("Invalid
+                    # relayout ... replicated in destination"); select
+                    # 0/1 in i32 first, then convert
+                    mi = jnp.where(po_r == p_col, 1, 0)   # (sub, 64) i32
+                    m16 = mi.astype(jnp.bfloat16)
+                    planes = [((d_r >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+                              for k in range(4)]
+                    d8 = jnp.concatenate(
+                        planes + [jnp.zeros((4, _ROW), jnp.bfloat16)],
+                        axis=0)                       # (8, 64)
+                    # contract the 64-byte axis of both operands: the
+                    # result lands byte-planes-on-sublanes, px-on-lanes
+                    accf = accf + jax.lax.dot_general(
+                        d8, m16, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (8, sub)
+                b = accf.astype(jnp.int32)
+                out_ref[s, :] = (b[0] | (b[1] << 8) | (b[2] << 16)
+                                 | (b[3] << 24))
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "interpret", "tile", "sub"))
+    "n_px_cap", "interpret", "tile", "sub", "accum"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
-              tile: int = _TILE, sub: int = _SUB, seed32=None):
+              tile: int = _TILE, sub: int = _SUB, seed32=None,
+              accum: str = "sum"):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
@@ -132,18 +196,15 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     its value; pixels before any chunk get the seed (truncation
     tolerance, reference qoi.h:544). Returns (n_px_cap,) u32.
     """
-    # coverage: a tile's landing bytes span <= 5*tile + tail positions from
-    # the first landing byte, which sits within block qb — the adjacent
-    # block pair must always cover them
-    assert tile * 5 + 8 <= _ROW * _BROWS, "tile too large for block pair"
-    assert tile % sub == 0 and _frows(sub) <= 2 * _BROWS
+    brows = _brows(tile)  # block pair covers the tile's landing bytes
+    assert tile % sub == 0 and _frows(sub) <= 2 * brows
     # lane-major output blocks: one row per subtile, Mosaic requires the
     # block's last-two dims divisible by (8, 128)
-    assert tile // sub == 8 and sub % 128 == 0, "out layout needs 8 x 128k"
+    assert tile // sub % 8 == 0 and sub % 128 == 0, "out needs 8k x 128k"
     m = pix_off.shape[0]
     t_out = -(-n_px_cap // tile)
-    nblocks = -(-m // (_ROW * _BROWS)) + 2  # slack: qb + 1 always in range
-    rows_pad = nblocks * _BROWS
+    nblocks = -(-m // (_ROW * brows)) + 2  # slack: qb + 1 always in range
+    rows_pad = nblocks * brows
 
     seed = (jnp.int32(_SEED32) if seed32 is None
             else jnp.asarray(seed32).view(jnp.int32).reshape(()))
@@ -162,21 +223,32 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
         d_p.reshape(rows_pad, _ROW),
     ], axis=1)
 
+    # block anchor per tile, from ROW-first offsets (64x fewer elements
+    # than po_p) with the sort-method searchsorted: the default 'scan'
+    # method is a ~24-step gather loop, and gathers cost ~10 ms/M on
+    # this platform (PERF_NOTES) — under vmap it was a visible slice of
+    # the batched decode. Anchoring at the row before the first row
+    # whose first offset >= the tile base keeps the first landing byte's
+    # row in the pair; the landing span (< brows rows) then fits because
+    # that row sits within the pair's first brows+1 rows.
+    rowfirst = po_p.reshape(rows_pad, _ROW)[:, 0]
     qs = jnp.arange(t_out, dtype=jnp.int32) * tile
-    qb = (jnp.searchsorted(po_p, qs).astype(jnp.int32) >> 13)
+    bshift = brows.bit_length() - 1           # brows is a power of two
+    r0 = jnp.searchsorted(rowfirst, qs, method="sort").astype(jnp.int32)
+    qb = jnp.maximum(r0 - 1, 0) >> bshift
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_out,),
         in_specs=[
-            pl.BlockSpec((_BROWS, _RLANES), lambda t, q: (q[t], 0)),
-            pl.BlockSpec((_BROWS, _RLANES), lambda t, q: (q[t] + 1, 0)),
+            pl.BlockSpec((brows, _RLANES), lambda t, q: (q[t], 0)),
+            pl.BlockSpec((brows, _RLANES), lambda t, q: (q[t] + 1, 0)),
         ],
         out_specs=pl.BlockSpec((tile // sub, sub), lambda t, q: (t, 0)),
-        scratch_shapes=[pltpu.VMEM((2 * _BROWS, _RLANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2 * brows, _RLANES), jnp.int32)],
     )
     landed = pl.pallas_call(
-        _make_kernel(tile, sub),
+        _make_kernel(tile, sub, accum),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),

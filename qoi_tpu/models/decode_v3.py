@@ -441,6 +441,32 @@ def _decode_device_batch(data, chunks_len, n_px_cap: int,
     )(data, chunks_len)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_px_cap", "max_rounds", "use_kernel", "sub_batch"))
+def _decode_device_batch_chunked(data, chunks_len, n_px_cap: int,
+                                 max_rounds: int = _MAX_ROUNDS,
+                                 use_kernel: bool = False,
+                                 sub_batch: int = 8):
+    """Large-batch decode as ONE program: lax.map over vmapped sub-batches.
+
+    A flat vmap over B streams holds every stream's intermediates live at
+    once (~0.4 GB of (M,) int32 families per 4K stream — batch 16 already
+    nears the HBM roof); sequential sub-batches keep peak memory at
+    sub_batch streams while still paying the ~30 ms per-program floor
+    once for the whole batch (PERF_NOTES.md measurement rules)."""
+    b = data.shape[0]
+    if b % sub_batch:
+        raise ValueError(f"batch {b} not divisible by sub_batch {sub_batch}")
+    d = data.reshape(b // sub_batch, sub_batch, data.shape[1])
+    c = chunks_len.reshape(b // sub_batch, sub_batch)
+    out, conv, rounds = jax.lax.map(
+        lambda dc: jax.vmap(
+            lambda x, y: _decode_device(x, y, n_px_cap, max_rounds,
+                                        use_kernel))(dc[0], dc[1]),
+        (d, c))
+    return (out.reshape(b, -1), conv.reshape(b), rounds.reshape(b))
+
+
 def unpack_px32(px32: np.ndarray) -> np.ndarray:
     """(..., N) uint32 -> (..., N, 4) uint8 rgba (little-endian layout)."""
     return np.ascontiguousarray(px32).view(np.uint8).reshape(

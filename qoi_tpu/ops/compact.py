@@ -53,7 +53,8 @@ _COMPACT_SEG = 4096
 
 
 def compact_bytes6(
-    staging6: jnp.ndarray, lens: jnp.ndarray, capacity: int
+    staging6: jnp.ndarray, lens: jnp.ndarray, capacity: int,
+    seg: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-tier sort compaction, channel-major layout. staging6: (K, N)
     uint8 (byte-plane-major: TPU pads the minor dimension to 128 lanes, so
@@ -71,7 +72,7 @@ def compact_bytes6(
     total = (offs[-1] + lens[-1]).astype(jnp.int32) if n else jnp.int32(0)
     col = jnp.arange(k, dtype=jnp.int32)[:, None]
 
-    seg = _COMPACT_SEG
+    seg = seg or _COMPACT_SEG
     if n % seg or n < seg * 2:
         tgt = jnp.where(col < lens[None, :], offs[None, :] + col, n * k).reshape(-1)
         _, packed = jax.lax.sort_key_val(tgt, staging6.reshape(-1))

@@ -114,6 +114,27 @@ def test_v3_batch_group():
         np.testing.assert_array_equal(got.reshape(32, 48, 4), im)
 
 
+def test_v3_batch_chunked_matches_flat():
+    """The lax.map-of-sub-batches program (the large-batch bench shape)
+    must produce exactly the flat vmap's results."""
+    imgs = [testimages.mixed(40, 24, 4, seed=10 + i) for i in range(4)]
+    streams = [oracle.encode(im, fmt.StreamDesc(40, 24, 4)) for im in imgs]
+    cap = v1.bucket_size(max(len(s) - fmt.HEADER_SIZE for s in streams))
+    data = np.zeros((4, cap), np.uint8)
+    clens = np.zeros((4,), np.int32)
+    for i, s in enumerate(streams):
+        body = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+        data[i, : len(body)] = body
+        clens[i] = len(s) - 22
+    npc = v1.bucket_size(40 * 24)
+    flat = decode_v3._decode_device_batch(
+        jnp.asarray(data), jnp.asarray(clens), npc)
+    chunked = decode_v3._decode_device_batch_chunked(
+        jnp.asarray(data), jnp.asarray(clens), npc, sub_batch=2)
+    for a, b in zip(flat, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_v3_random_roundtrips():
     rng = np.random.default_rng(7)
     for t in range(8):
