@@ -128,12 +128,23 @@ def _fields(data: jnp.ndarray, chunks_len: jnp.ndarray):
 
 
 def _initial_w(cls, r6, d32, lit32, entry_px32=None):
-    """Optimistic per-byte written-slot estimate: reset-or-add affine scan
-    mod 64 (v1's _initial_hashes at byte granularity, gather-free). The
-    RGB reset uses the last RGBA literal's alpha — exact unless an INDEX
-    changed alpha in between (fixpoint-corrected). `entry_px32` (traced
-    u32, default the seed pixel) sets the incoming px for tiled/streamed
-    chaining: its hash seeds the affine scan and its alpha the estimate."""
+    """Optimistic per-byte written-slot estimate, as ONE affine scan over
+    the coupled state (alpha, hash) (v1's _initial_hashes at byte
+    granularity, gather-free). The RGB reset's hash needs the running
+    alpha (h' = c + 11a mod 64), so alpha and hash form a joint affine
+    recurrence:
+
+        a' = ra ? va : a                 (RGBA literal overwrites alpha)
+        h' = g*h + t*a + e   (mod 64)    (g,t,e per op class, see below)
+
+    Affine maps compose associatively; the five coefficients pack into
+    one int32 ([ra:1 | g:1 | t:6 | e:6 | va:8]), so the scan moves ONE
+    int32 leaf instead of the two-scan form's four (alpha overwrite scan
+    + hash reset-or-add scan) — one full blocked_scan pass less. The
+    estimate is exact unless an INDEX changed alpha between RGBA and RGB
+    chunks (fixpoint-corrected downstream). `entry_px32` (traced u32,
+    default the seed pixel) sets the incoming px for tiled/streamed
+    chaining: its hash seeds h and its alpha seeds a."""
     m3, m5, m7, m11 = fmt.HASH_MULTIPLIERS
     if entry_px32 is None:
         entry_hash = jnp.int32(_SEED_HASH)
@@ -142,47 +153,44 @@ def _initial_w(cls, r6, d32, lit32, entry_px32=None):
         entry_hash = _hash_packed(entry_px32[None])[0]
         entry_alpha = ((entry_px32 >> 24) & 0xFF).astype(jnp.int32)
     is_rgba = cls == _CLS_RGBA
+    is_rgb = cls == _CLS_RGB
     b2 = (lit32 & 0xFF).astype(jnp.int32)
     b3 = ((lit32 >> 8) & 0xFF).astype(jnp.int32)
     b4 = ((lit32 >> 16) & 0xFF).astype(jnp.int32)
     b5 = ((lit32 >> 24) & 0xFF).astype(jnp.int32)
 
-    # alpha estimate after each byte: overwrite scan of RGBA literals
-    af = is_rgba.astype(jnp.uint8)
-    av = jnp.where(is_rgba, b5, 0).astype(jnp.int32)
+    # per-op coefficients: ID (1,0,0) / ADD (1,0,dh) / RGBA (0,0,habs)
+    # / RGB (0,11,c) / INDEX (0,0,r6); alpha: RGBA sets ra=1, va=b5
+    dh = (m3 * (d32 & 0xFF).astype(jnp.int32)
+          + m5 * ((d32 >> 8) & 0xFF).astype(jnp.int32)
+          + m7 * ((d32 >> 16) & 0xFF).astype(jnp.int32)) & 63
+    habs = (m3 * b2 + m5 * b3 + m7 * b4 + m11 * b5) & 63
+    c_rgb = (m3 * b2 + m5 * b3 + m7 * b4) & 63
+    is_reset = is_rgb | is_rgba | (cls == _CLS_INDEX)
+    g = (~is_reset).astype(jnp.int32)
+    t = jnp.where(is_rgb, m11 & 63, 0)
+    e = jnp.where(is_rgba, habs,
+        jnp.where(is_rgb, c_rgb,
+        jnp.where(cls == _CLS_INDEX, r6,
+        jnp.where(cls == _CLS_ADD, dh, 0))))
+    packed = (is_rgba.astype(jnp.int32) | (g << 1) | (t << 2) | (e << 8)
+              | (jnp.where(is_rgba, b5, 0) << 14))
 
-    def acomb(a, b):
-        fa, va = a
-        fb, vb = b
-        return jnp.maximum(fa, fb), jnp.where(fb != 0, vb, va)
+    def comb(p1, p2):
+        ra1, g1 = p1 & 1, (p1 >> 1) & 1
+        t1, e1, va1 = (p1 >> 2) & 63, (p1 >> 8) & 63, (p1 >> 14) & 0xFF
+        ra2, g2 = p2 & 1, (p2 >> 1) & 1
+        t2, e2, va2 = (p2 >> 2) & 63, (p2 >> 8) & 63, (p2 >> 14) & 0xFF
+        g = g1 & g2
+        t = (g2 * t1 + (1 - ra1) * t2) & 63
+        e = (g2 * e1 + e2 + ra1 * t2 * va1) & 63
+        ra = ra1 | ra2
+        va = jnp.where(ra2 != 0, va2, va1)
+        return ra | (g << 1) | (t << 2) | (e << 8) | (va << 14)
 
-    afs, avs = scans.blocked_scan(acomb, (af, av))
-    alpha_after = jnp.where(afs != 0, avs, entry_alpha)
-    alpha_before = jnp.concatenate(
-        [entry_alpha[None], alpha_after[:-1]])
-
-    reset_val = jnp.where(
-        is_rgba, (m3 * b2 + m5 * b3 + m7 * b4 + m11 * b5) & 63,
-        jnp.where(cls == _CLS_RGB,
-                  (m3 * b2 + m5 * b3 + m7 * b4 + m11 * alpha_before) & 63,
-                  r6))  # INDEX: table invariant => writes its read slot
-    is_reset = (cls == _CLS_RGB) | is_rgba | (cls == _CLS_INDEX)
-    add_val = jnp.where(
-        cls == _CLS_ADD,
-        (m3 * (d32 & 0xFF).astype(jnp.int32)
-         + m5 * ((d32 >> 8) & 0xFF).astype(jnp.int32)
-         + m7 * ((d32 >> 16) & 0xFF).astype(jnp.int32)) & 63, 0)
-
-    r = is_reset.astype(jnp.int32)
-    v = jnp.where(is_reset, reset_val, add_val)
-
-    def hcomb(a, b):
-        ra, va = a
-        rb, vb = b
-        return rb | ra, jnp.where(rb != 0, vb, (va + vb) & 63)
-
-    rs, vs = scans.blocked_scan(hcomb, (r, v))
-    return jnp.where(rs != 0, vs, (vs + entry_hash) & 63)
+    ps = scans.blocked_scan(comb, packed)
+    gs, ts_, es = (ps >> 1) & 1, (ps >> 2) & 63, (ps >> 8) & 63
+    return (gs * entry_hash + ts_ * entry_alpha + es) & 63
 
 
 def _step_common(rec, px_root, px_val, src_root, src_val):
@@ -235,8 +243,9 @@ def _block_maps(meta, d32, lit32, nb: int, b: int):
         cls = meta_i & 7
         r6 = (meta_i >> 9) & 63
         w = (meta_i >> 3) & 63
-        src_root = _select_row(rows, r6, troot)
-        src_val = _select_row(rows, r6, tval)
+        sel = rows == r6[None, :]  # one (64, nb) compare for both planes
+        src_root = jnp.sum(jnp.where(sel, troot, 0), axis=0, dtype=troot.dtype)
+        src_val = jnp.sum(jnp.where(sel, tval, 0), axis=0, dtype=tval.dtype)
         new_root, new_val = _step_common(
             rec, px_root, px_val, src_root, src_val)
         live = cls != _CLS_ID
@@ -398,7 +407,7 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
 
 
 def _expand_packed(starts, px32, pix_off, n_px_cap: int,
-                   use_kernel: bool = False):
+                   use_kernel: bool = False, accum: str = "sum"):
     """Run expansion via the telescoping-delta formulation
     (kernels/expand.py): out[p] = seed + sum of px-deltas over bytes
     with pix_off <= p, which telescopes to the governing chunk's px.
@@ -409,7 +418,7 @@ def _expand_packed(starts, px32, pix_off, n_px_cap: int,
     from ..kernels import expand as kexpand
 
     if use_kernel:
-        return kexpand.expand_px(pix_off, px32, n_px_cap)
+        return kexpand.expand_px(pix_off, px32, n_px_cap, accum=accum)
     return kexpand.expand_px_xla(pix_off, px32, n_px_cap)
 
 
@@ -421,32 +430,34 @@ def _use_kernel_default() -> bool:
         return False
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_px_cap", "max_rounds", "use_kernel"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_px_cap", "max_rounds", "use_kernel", "accum"))
 def _decode_device(data, chunks_len, n_px_cap: int,
-                   max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False):
+                   max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False,
+                   accum: str = "sum"):
     px, starts, npix, pix_off, conv, rounds, _ = _decode_core(
         data, chunks_len, max_rounds)
-    out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel)
+    out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel, accum)
     return out, conv, rounds
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_px_cap", "max_rounds", "use_kernel"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_px_cap", "max_rounds", "use_kernel", "accum"))
 def _decode_device_batch(data, chunks_len, n_px_cap: int,
                          max_rounds: int = _MAX_ROUNDS,
-                         use_kernel: bool = False):
+                         use_kernel: bool = False, accum: str = "sum"):
     return jax.vmap(
-        lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel)
+        lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel,
+                                    accum)
     )(data, chunks_len)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "max_rounds", "use_kernel", "sub_batch"))
+    "n_px_cap", "max_rounds", "use_kernel", "sub_batch", "accum"))
 def _decode_device_batch_chunked(data, chunks_len, n_px_cap: int,
                                  max_rounds: int = _MAX_ROUNDS,
                                  use_kernel: bool = False,
-                                 sub_batch: int = 8):
+                                 sub_batch: int = 8, accum: str = "sum"):
     """Large-batch decode as ONE program: lax.map over vmapped sub-batches.
 
     A flat vmap over B streams holds every stream's intermediates live at
@@ -462,7 +473,7 @@ def _decode_device_batch_chunked(data, chunks_len, n_px_cap: int,
     out, conv, rounds = jax.lax.map(
         lambda dc: jax.vmap(
             lambda x, y: _decode_device(x, y, n_px_cap, max_rounds,
-                                        use_kernel))(dc[0], dc[1]),
+                                        use_kernel, accum))(dc[0], dc[1]),
         (d, c))
     return (out.reshape(b, -1), conv.reshape(b), rounds.reshape(b))
 
