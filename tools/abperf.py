@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Same-process A/B harness for the TPU hot paths.
+
+This platform's per-program floor drifts 25-70 ms BETWEEN processes and
+`block_until_ready` can return early (PERF_NOTES.md), so the only
+trustworthy comparisons are same-script, host-fetch-synced, min-of-N.
+This tool packages that discipline for the three recurring experiments:
+
+    python tools/abperf.py encode   # compaction seg x program structure
+    python tools/abperf.py decode   # batch structure x expand accumulate
+    python tools/abperf.py expand   # expand kernel tile/accum standalone
+
+Every timed variant is verified first (encode: byte-identical to the
+C++ oracle; decode: pixel-identical to the source, on device; expand:
+checksum-identical across variants after one XLA-reference check).
+Results print one line per variant to stdout; diagnostics to stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = 6
+W, H = 3840, 2160
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _floor_probe(jax, jnp, x):
+    f = jax.jit(lambda p: (jnp.ravel(p)[:8].astype(jnp.int32) + 1))
+    int(jax.device_get(f(x))[0])
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        int(jax.device_get(f(x))[0])
+        ts.append(time.perf_counter() - t0)
+    print(f"floor: min {min(ts)*1e3:.1f} ms "
+          f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
+
+def _mins(fn):
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts), ts
+
+
+def cmd_encode(batch_frames: int = 8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qoi_tpu import format as fmt, oracle
+    from qoi_tpu.models import pipeline
+    from qoi_tpu.ops import compact
+    from qoi_tpu.utils import testimages
+
+    desc = fmt.StreamDesc(W, H, 4)
+    n = desc.num_pixels
+    cap = -(-n // 1024) * 1024
+    frames = [testimages.mixed(W, H, 4, seed=3 + i)
+              for i in range(batch_frames)]
+    batch = np.zeros((batch_frames, cap, 4), np.uint8)
+    for i, f in enumerate(frames):
+        batch[i, :n] = pipeline.force_rgba(f, desc)
+    xs = [jax.device_put(jnp.asarray(batch[i])) for i in range(batch_frames)]
+    xb = jax.device_put(jnp.asarray(batch))
+    want0 = oracle.encode(frames[0], desc)
+    _floor_probe(jax, jnp, xs[0])
+
+    def verify(buf, tot):
+        tot = int(jax.device_get(tot))
+        s = (fmt.pack_header(desc)
+             + np.asarray(jax.device_get(buf))[:tot].tobytes() + fmt.TRAILER)
+        assert s == want0, "oracle mismatch"
+
+    for seg in (4096, 1024, 512):
+        @jax.jit
+        def enc_one(p, s=seg):
+            ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+            return compact.compact_bytes6(ch.staging, ch.lens, cap * 6, seg=s)
+
+        def run_pipe(e=enc_one):
+            outs = [e(x) for x in xs]
+            for _, t in outs:
+                int(jax.device_get(t))
+            return outs[0]
+
+        t0 = time.perf_counter()
+        verify(*run_pipe())
+        log(f"pipe seg={seg} compile+verify {time.perf_counter()-t0:.0f}s")
+        mn, ts = _mins(run_pipe)
+        print(f"pipe seg={seg}: min {mn*1e3:.0f} ms "
+              f"({batch_frames*n/1e6/mn:.1f} Mpx/s) "
+              f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
+        @jax.jit
+        def enc_map(pb, s=seg):
+            def one(p):
+                ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+                return compact.compact_bytes6(
+                    ch.staging, ch.lens, cap * 6, seg=s)
+            return jax.lax.map(one, pb)
+
+        def run_map(e=enc_map):
+            bufs, tots = e(xb)
+            int(jax.device_get(tots[-1]))
+            return bufs[0], tots[0]
+
+        t0 = time.perf_counter()
+        verify(*run_map())
+        log(f"map seg={seg} compile+verify {time.perf_counter()-t0:.0f}s")
+        mn, ts = _mins(run_map)
+        print(f"map  seg={seg}: min {mn*1e3:.0f} ms "
+              f"({batch_frames*n/1e6/mn:.1f} Mpx/s) "
+              f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
+
+def cmd_decode(unique_streams: int = 8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qoi_tpu import format as fmt, oracle
+    from qoi_tpu.models import decode_pipeline as v1, decode_v3 as v3, pipeline
+    from qoi_tpu.utils import testimages
+
+    desc = fmt.StreamDesc(W, H, 4)
+    n = desc.num_pixels
+    b = unique_streams
+    dframes = [testimages.photo(W, H, 4, seed=3 + i) for i in range(b)]
+    streams = [oracle.encode(f, desc) for f in dframes]
+    mcap = v1.bucket_size(max(len(s) for s in streams) - fmt.HEADER_SIZE)
+    npc = v1.bucket_size(n)
+    bodies = np.zeros((b, mcap), np.uint8)
+    clens = np.zeros((b,), np.int32)
+    for i, s in enumerate(streams):
+        raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+        bodies[i, :len(raw)] = raw
+        clens[i] = len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
+    db = jax.device_put(jnp.asarray(bodies))
+    dc = jax.device_put(jnp.asarray(clens))
+    src0 = np.zeros((npc,), np.uint32)
+    p0 = pipeline.force_rgba(dframes[0], desc).astype(np.uint32)
+    src0[:n] = p0[:, 0] | p0[:, 1] << 8 | p0[:, 2] << 16 | p0[:, 3] << 24
+    dsrc0 = jax.device_put(jnp.asarray(src0))
+    _floor_probe(jax, jnp, db)
+
+    check0 = jax.jit(lambda out: jnp.all(out[:n] == dsrc0[:n]))
+
+    def dup(x, k):
+        return jnp.concatenate([x] * k, axis=0)
+
+    def bench(name, f, d, c):
+        t0 = time.perf_counter()
+        out, conv, _ = f(d, c)
+        okc = bool(jax.device_get(jnp.all(conv)))
+        ok0 = bool(jax.device_get(check0(out[0])))
+        log(f"{name} compile+verify {time.perf_counter()-t0:.0f}s "
+            f"conv={okc} px0={ok0}")
+        assert okc and ok0
+        nb = out.shape[0]
+        mn, ts = _mins(
+            lambda: int(jax.device_get(f(d, c)[0][0, 0])))
+        print(f"{name}: min {mn*1e3:.0f} ms ({nb*n/1e6/mn:.1f} Mpx/s, "
+              f"{mn*1e3/nb:.1f}/frame) all {[f'{t*1e3:.0f}' for t in ts]}",
+              flush=True)
+
+    f16 = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=True))
+    bench("b16 flat sum", lambda d, c: f16(d, c), dup(db, 2), dup(dc, 2))
+
+    for k, name in ((4, "b32"), (6, "b48")):
+        fs = jax.jit(functools.partial(
+            v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=True,
+            sub_batch=8))
+        bench(f"{name} map8 sum", lambda d, c, f=fs: f(d, c),
+              dup(db, k), dup(dc, k))
+    fd = jax.jit(functools.partial(
+        v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=True,
+        sub_batch=8, accum="dot"))
+    bench("b32 map8 dot", lambda d, c: fd(d, c), dup(db, 4), dup(dc, 4))
+
+
+def cmd_expand():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qoi_tpu.kernels import expand
+
+    rng = np.random.default_rng(7)
+    m = 1 << 24
+    cap = 8 * 1024 * 1024 + 1024 * 1024
+    lens = rng.choice([1, 1, 1, 2, 2, 4, 5], size=m // 2)
+    sp = np.cumsum(lens) - lens[0]
+    sp = sp[sp < m]
+    npix = np.zeros(m, np.int64)
+    npix[sp] = np.where(rng.random(len(sp)) < 0.03,
+                        rng.integers(2, 63, len(sp)), 1)
+    po = np.concatenate([[0], np.cumsum(npix)[:-1]]).astype(np.int32)
+    px = np.zeros(m, np.uint32)
+    px[sp] = rng.integers(0, 1 << 32, len(sp),
+                          dtype=np.uint64).astype(np.uint32)
+    starts = np.zeros(m, bool)
+    starts[sp] = True
+    px = np.maximum.accumulate(np.where(starts, px, 0)).astype(np.uint32)
+    dpo = jax.device_put(jnp.asarray(po))
+    dpx = jax.device_put(jnp.asarray(px))
+    _floor_probe(jax, jnp, dpo)
+
+    want = None
+    for tile, acc in ((1024, "sum"), (1024, "dot"), (2048, "dot"),
+                      (4096, "dot")):
+        f = jax.jit(lambda p, x, t=tile, a=acc: expand.expand_px(
+            p, x, cap, tile=t, accum=a))
+        t0 = time.perf_counter()
+        out = f(dpo, dpx)
+        s = int(jax.device_get(jnp.sum(out.view(jnp.int32))))
+        log(f"tile={tile}/{acc} compile+run {time.perf_counter()-t0:.0f}s")
+        if want is None:
+            xla = jax.jit(lambda p, x: expand.expand_px_xla(p, x, cap))
+            assert bool(jax.device_get(jnp.all(out == xla(dpo, dpx)))), \
+                "kernel != XLA reference"
+            want = s
+        assert s == want, f"tile={tile}/{acc} checksum mismatch"
+        mn, ts = _mins(
+            lambda: int(jax.device_get(f(dpo, dpx)[:1].view(jnp.int32)[0])))
+        print(f"tile={tile}/{acc}: min {mn*1e3:.1f} ms "
+              f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("what", choices=["encode", "decode", "expand"])
+    args = ap.parse_args()
+    import jax
+    log(f"device: {jax.devices()[0]}")
+    {"encode": cmd_encode, "decode": cmd_decode,
+     "expand": cmd_expand}[args.what]()
+
+
+if __name__ == "__main__":
+    main()
