@@ -125,3 +125,58 @@ def test_expand_kernel_all_singles():
     want = np.asarray(expand.expand_px_xla(
         jnp.asarray(pix_off), jnp.asarray(px), 16384))
     np.testing.assert_array_equal(got, want)
+
+
+def _all_one_byte_chunks(m, run_len):
+    """Every byte a 1-byte chunk emitting run_len px: the max-sparsity
+    geometry (62-runs advance offsets 62 px/byte — anchors jump rows)."""
+    npix = np.full(m, run_len, np.int64)
+    rng = np.random.default_rng(run_len)
+    px = rng.integers(0, 2**32, m, dtype=np.uint64).astype(np.uint32)
+    pix_off = (np.cumsum(npix) - npix).astype(np.int32)
+    return pix_off, px
+
+
+@pytest.mark.parametrize("geometry", ["max_runs", "alternating", "dot_dense"])
+def test_expand_kernel_adversarial_geometry(geometry):
+    """Anchor/window edge geometries for the vectorized in-kernel anchor
+    path: max-sparsity (every byte a 62-run: each output subtile's window
+    sits entirely in 1-3 rows far apart), alternation (runs next to
+    5-byte literal bursts: anchor rows shift abruptly mid-tile), and the
+    dot accumulate on dense content."""
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    if geometry == "max_runs":
+        pix_off, px = _all_one_byte_chunks(4096, 62)
+        cap, accum = 65536, "sum"
+    elif geometry == "alternating":
+        rng = np.random.default_rng(5)
+        npix = np.zeros(30000, np.int64)
+        px = np.zeros(30000, np.uint32)
+        i = 0
+        while i < 30000 - 6:
+            if rng.random() < 0.5:   # a 62-run
+                npix[i] = 62
+                px[i] = np.uint32(rng.integers(0, 2**32))
+                i += 1
+            else:                    # burst of 5-byte RGBA literals
+                for _ in range(int(rng.integers(1, 9))):
+                    if i >= 30000 - 6:
+                        break
+                    npix[i] = 1
+                    px[i:i + 5] = np.uint32(rng.integers(0, 2**32))
+                    i += 5
+        px[i:] = px[i - 1]
+        pix_off = (np.cumsum(npix) - npix).astype(np.int32)
+        cap, accum = 32768, "sum"
+    else:
+        pix_off, px = _synth_records(20000, 11, max_run=1)
+        cap, accum = 16384, "dot"
+    got = np.asarray(expand.expand_px(
+        jnp.asarray(pix_off), jnp.asarray(px), cap, interpret=True,
+        accum=accum))
+    want = np.asarray(expand.expand_px_xla(
+        jnp.asarray(pix_off), jnp.asarray(px), cap))
+    np.testing.assert_array_equal(got, want)
