@@ -134,7 +134,12 @@ def _make_kernel(tile: int, sub: int, accum: str = "sum"):
             p_col = base_s + jax.lax.broadcasted_iota(
                 jnp.int32, (sub, 1), 0)
 
-            if accum == "sum":
+            if accum == "noop":
+                # ABLATION ONLY (wrong results): keeps the grid, DMA,
+                # anchor math and window slice, drops the accumulate —
+                # bounds the accumulate's share of kernel time
+                out_ref[s, :] = jnp.sum(fine[0:8, 0:sub], axis=0)
+            elif accum == "sum":
                 acc = jnp.zeros((sub, _ROW), jnp.int32)
                 for r in range(frows):
                     po_r = fine[r:r + 1, 0:_ROW]      # (1, 64)

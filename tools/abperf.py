@@ -221,20 +221,21 @@ def cmd_expand():
     _floor_probe(jax, jnp, dpo)
 
     want = None
-    for tile, acc in ((1024, "sum"), (1024, "dot"), (2048, "dot"),
-                      (4096, "dot")):
+    for tile, acc in ((1024, "sum"), (1024, "noop"), (1024, "dot"),
+                      (2048, "dot"), (4096, "dot")):
         f = jax.jit(lambda p, x, t=tile, a=acc: expand.expand_px(
             p, x, cap, tile=t, accum=a))
         t0 = time.perf_counter()
         out = f(dpo, dpx)
         s = int(jax.device_get(jnp.sum(out.view(jnp.int32))))
         log(f"tile={tile}/{acc} compile+run {time.perf_counter()-t0:.0f}s")
-        if want is None:
-            xla = jax.jit(lambda p, x: expand.expand_px_xla(p, x, cap))
-            assert bool(jax.device_get(jnp.all(out == xla(dpo, dpx)))), \
-                "kernel != XLA reference"
-            want = s
-        assert s == want, f"tile={tile}/{acc} checksum mismatch"
+        if acc != "noop":  # noop is the DMA/anchor ablation, wrong by design
+            if want is None:
+                xla = jax.jit(lambda p, x: expand.expand_px_xla(p, x, cap))
+                assert bool(jax.device_get(jnp.all(out == xla(dpo, dpx)))), \
+                    "kernel != XLA reference"
+                want = s
+            assert s == want, f"tile={tile}/{acc} checksum mismatch"
         mn, ts = _mins(
             lambda: int(jax.device_get(f(dpo, dpx)[:1].view(jnp.int32)[0])))
         print(f"tile={tile}/{acc}: min {mn*1e3:.1f} ms "
