@@ -28,21 +28,25 @@ is needed — the masked sums telescope to differences of pixel values.
 
 Layout: byte records pack into rows of 64 positions,
 row r = [ pix_off[64r : +64] | d[64r : +64] ] (128 int32 lanes).
-Grid = one step per 1024-pixel output tile; a scalar-prefetched anchor
-qb_t = searchsorted(pix_off, 1024 t) >> 13 (a few thousand sorted
-queries — cheap in XLA) aims two adjacent 128-row blocks at the tile:
-the bytes whose offsets land in the tile span < 1024x5 + tail < 8192
-positions, so the dyadic block pair always covers them. Both blocks
-land in a (256, 128) VMEM scratch. Each 128-pixel subtile anchors an
-8-aligned 24-row fine window by counting rows whose FIRST offset is
-<= its base (pix_off is globally nondecreasing, so all bytes landing
-in the subtile live in rows [r* - 1, r* + ceil(sub/12) + 1] — 64 bytes
-hold >= 12 chunks, each advancing >= 1 px); it then equality-masks
-offsets against its pixel ids, accumulates deltas across the window
-rows in a (128, 64) register block, and reduces once at the end.
-Output rows are (tile, subtile) pairs with PIXELS ON LANES — a
-(pixels, 1) output would pad its 1-lane minor dim 128x in HBM
-(PERF_NOTES lane-padding trap) and cost more than the compute.
+Grid = one step per `tile`-pixel output tile; a scalar-prefetched block
+anchor (sort-method searchsorted over per-ROW first offsets — the
+default 'scan' method is a gather loop, slow here) aims two adjacent
+`brows`-row blocks at the tile: the bytes whose offsets land in the
+tile span < tile*5 + tail < 64*brows positions, so the dyadic block
+pair always covers them. Both blocks land in a (2*brows, 128) VMEM
+scratch. Fine-window anchors for ALL subtiles come from one broadcast
+compare over the scratch's first-offset column (pix_off is globally
+nondecreasing, so all bytes landing in a subtile live in rows
+[r* - 1, r* + ceil(sub/12) + 1] of the pair, r* = count of rows whose
+first offset is <= the subtile base — 64 bytes hold >= 12 chunks, each
+advancing >= 1 px). Each 128-pixel subtile then slices an 8-aligned
+24-row fine window, equality-masks offsets against its pixel ids, and
+accumulates deltas — either in a (128, 64) register block reduced once
+at the end (accum="sum"), or as a one-hot bf16 contraction against
+byte-split deltas on the MXU (accum="dot"). Output rows are
+(tile, subtile) pairs with PIXELS ON LANES — a (pixels, 1) output
+would pad its 1-lane minor dim 128x in HBM (PERF_NOTES lane-padding
+trap) and cost more than the compute.
 """
 from __future__ import annotations
 

@@ -137,6 +137,22 @@ def _all_one_byte_chunks(m, run_len):
     return pix_off, px
 
 
+def test_expand_kernel_big_tile():
+    """tile=2048 exercises the derived-block-size path (brows=256, wider
+    anchor column, bigger scratch)."""
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    pix_off, px = _synth_records(60000, 13)
+    got = np.asarray(expand.expand_px(
+        jnp.asarray(pix_off), jnp.asarray(px), 32768, interpret=True,
+        tile=2048))
+    want = np.asarray(expand.expand_px_xla(
+        jnp.asarray(pix_off), jnp.asarray(px), 32768))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("geometry", ["max_runs", "alternating", "dot_dense"])
 def test_expand_kernel_adversarial_geometry(geometry):
     """Anchor/window edge geometries for the vectorized in-kernel anchor
