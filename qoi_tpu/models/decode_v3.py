@@ -339,13 +339,20 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
     return px, exit65
 
 
+#: cap on the resolve's scan length B. Tuned SINGLE-stream on v5e at
+#: M=16.7M (B=2048 beats 512 by 25%: the compose pass shrinks with
+#: nb = M/B; per-step loop overhead grows with B). Under a vmapped
+#: batch the per-step overhead amortizes across lanes, which shifts the
+#: optimum toward smaller B — tools/abperf.py sweeps this (set the cap
+#: + jax.clear_caches() between variants).
+_SCAN_B_MAX = 2048
+
+
 def _scan_block_len(m: int) -> int:
     """Static scan length B (positions per block): keeps lane width nb =
-    m / B wide enough for the VPU while bounding sequential steps.
-    Measured on v5e at M=16.7M: B=2048 beats 512 by 25% (the compose
-    pass shrinks with nb = M/B; per-step loop overhead grows with B)."""
+    m / B wide enough for the VPU while bounding sequential steps."""
     b = 16
-    while b < 2048 and b * 64 <= m:
+    while b < _SCAN_B_MAX and b * 64 <= m:
         b <<= 1
     return b
 

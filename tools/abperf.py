@@ -192,6 +192,18 @@ def cmd_decode(unique_streams: int = 8):
         sub_batch=8, accum="dot"))
     bench("b32 map8 dot", lambda d, c: fd(d, c), dup(db, 4), dup(dc, 4))
 
+    # resolve scan-length sweep: the B=2048 cap was tuned single-stream;
+    # vmapped batches amortize per-step overhead, shifting the optimum
+    for bcap in (1024, 512):
+        v3._SCAN_B_MAX = bcap
+        jax.clear_caches()  # _decode_device's traces captured the old cap
+        fb = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=True))
+        bench(f"b16 flat B={bcap}", lambda d, c, f=fb: f(d, c),
+              dup(db, 2), dup(dc, 2))
+    v3._SCAN_B_MAX = 2048
+    jax.clear_caches()
+
 
 def cmd_expand():
     import jax
