@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = 6
 W, H = 3840, 2160
+_EXPAND_M = 1 << 24
+_MINI = False
 
 
 def log(msg):
@@ -178,17 +180,17 @@ def cmd_decode(unique_streams: int = 8):
               flush=True)
 
     f16 = jax.jit(functools.partial(
-        v3._decode_device_batch, n_px_cap=npc, use_kernel=True))
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
     bench("b16 flat sum", lambda d, c: f16(d, c), dup(db, 2), dup(dc, 2))
 
     for k, name in ((4, "b32"), (6, "b48")):
         fs = jax.jit(functools.partial(
-            v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=True,
+            v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=not _MINI,
             sub_batch=8))
         bench(f"{name} map8 sum", lambda d, c, f=fs: f(d, c),
               dup(db, k), dup(dc, k))
     fd = jax.jit(functools.partial(
-        v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=True,
+        v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=not _MINI,
         sub_batch=8, accum="dot"))
     bench("b32 map8 dot", lambda d, c: fd(d, c), dup(db, 4), dup(dc, 4))
 
@@ -198,7 +200,7 @@ def cmd_decode(unique_streams: int = 8):
         v3._SCAN_B_MAX = bcap
         jax.clear_caches()  # _decode_device's traces captured the old cap
         fb = jax.jit(functools.partial(
-            v3._decode_device_batch, n_px_cap=npc, use_kernel=True))
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
         bench(f"b16 flat B={bcap}", lambda d, c, f=fb: f(d, c),
               dup(db, 2), dup(dc, 2))
     v3._SCAN_B_MAX = 2048
@@ -213,8 +215,8 @@ def cmd_expand():
     from qoi_tpu.kernels import expand
 
     rng = np.random.default_rng(7)
-    m = 1 << 24
-    cap = 8 * 1024 * 1024 + 1024 * 1024
+    m = _EXPAND_M
+    cap = m // 2 + m // 16
     lens = rng.choice([1, 1, 1, 2, 2, 4, 5], size=m // 2)
     sp = np.cumsum(lens) - lens[0]
     sp = sp[sp < m]
@@ -236,7 +238,7 @@ def cmd_expand():
     for tile, acc in ((1024, "sum"), (1024, "noop"), (1024, "dot"),
                       (2048, "dot"), (4096, "dot")):
         f = jax.jit(lambda p, x, t=tile, a=acc: expand.expand_px(
-            p, x, cap, tile=t, accum=a))
+            p, x, cap, tile=t, accum=a, interpret=_MINI))
         t0 = time.perf_counter()
         out = f(dpo, dpx)
         s = int(jax.device_get(jnp.sum(out.view(jnp.int32))))
@@ -255,9 +257,20 @@ def cmd_expand():
 
 
 def main():
+    global W, H, REPS
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("what", choices=["encode", "decode", "expand"])
+    ap.add_argument("--mini", action="store_true",
+                    help="tiny shapes + forced CPU: smoke-tests every "
+                         "variant end-to-end without touching the TPU")
     args = ap.parse_args()
+    if args.mini:
+        global _EXPAND_M
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        W, H, REPS = 320, 192, 2
+        _EXPAND_M = 1 << 17
+        globals()['_MINI'] = True
     import jax
     log(f"device: {jax.devices()[0]}")
     {"encode": cmd_encode, "decode": cmd_decode,
