@@ -88,6 +88,25 @@ def _frows(sub: int) -> int:
     need = 8 + -(-sub // 12) + 2
     return -(-need // 8) * 8
 
+_WROW = 128         # byte positions per row, wide layout (full vreg lanes)
+
+
+def _wbrows(tile: int) -> int:
+    """Wide-layout rows per DMA block (same coverage bound as _brows,
+    128 positions per row, power of two for the shift anchor)."""
+    b = 64
+    while tile * 5 + 8 > _WROW * b:
+        b <<= 1
+    return b
+
+
+def _wfrows(sub: int) -> int:
+    """Wide-layout fine-window rows: 8 alignment slack + span (every
+    128-byte row holds >= 25 chunk starts, each advancing >= 1 px) + 2."""
+    need = 8 + -(-sub // 25) + 2
+    return -(-need // 8) * 8
+
+
 _SEED32 = np.int32(np.uint32(
     fmt.SEED_PIXEL[0] | fmt.SEED_PIXEL[1] << 8
     | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24).view(np.int32))
@@ -174,11 +193,17 @@ def _make_kernel(tile: int, sub: int, accum: str = "sum"):
                     # 0/1 in i32 first, then convert
                     mi = jnp.where(po_r == p_col, 1, 0)   # (sub, 64) i32
                     m16 = mi.astype(jnp.bfloat16)
-                    planes = [((d_r >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
-                              for k in range(4)]
-                    d8 = jnp.concatenate(
-                        planes + [jnp.zeros((4, _ROW), jnp.bfloat16)],
-                        axis=0)                       # (8, 64)
+                    # byte planes via one broadcast shift: rows k<4 hold
+                    # (d >> 8k) & 0xFF, rows 4..7 are zero. A concat of
+                    # per-plane (1, 64) slices is a Mosaic trap ("offset
+                    # mismatch on non-concat dimension": the operands sit
+                    # at different sublane offsets); the iota-shift
+                    # spelling is plain elementwise ops
+                    krow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                    d8i = jnp.where(
+                        krow < 4,
+                        (d_r >> (jnp.minimum(krow, 3) * 8)) & 0xFF, 0)
+                    d8 = d8i.astype(jnp.bfloat16)     # (8, 64)
                     # contract the 64-byte axis of both operands: the
                     # result lands byte-planes-on-sublanes, px-on-lanes
                     accf = accf + jax.lax.dot_general(
@@ -189,6 +214,137 @@ def _make_kernel(tile: int, sub: int, accum: str = "sum"):
                                  | (b[3] << 24))
 
     return kernel
+
+
+def _make_wide_kernel(tile: int, sub: int, dyn: bool):
+    """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
+
+    The narrow layout's (sub, 64) compare/select/add values pad their
+    64-lane minor dim to 128 in vregs — half of every vector op wasted.
+    Full-lane rows also cover 2x bytes each, so the fine window needs
+    16 rows instead of 24 (_wfrows vs _frows at sub=128). `dyn` replaces
+    the static window with a fori_loop over 8-row groups whose trip
+    count comes from the actual row span of the subtile's landing bytes
+    (typical photo content: ~2 B/px => 2 rows vs the worst-case-sized
+    static window); the alignment slack and worst-case span are paid
+    only by content that needs them.
+    """
+    brows = _wbrows(tile)
+    frows = _wfrows(sub)
+    nsub = tile // sub
+    ngmax = 2 * brows // 8
+
+    def kernel(qb_ref, po_a, po_b, d_a, d_b, out_ref, wpo, wd):
+        t = pl.program_id(0)
+        base_t = t * tile
+        wpo[0:brows, :] = po_a[...]
+        wpo[brows:2 * brows, :] = po_b[...]
+        wd[0:brows, :] = d_a[...]
+        wd[brows:2 * brows, :] = d_b[...]
+        rowfirst = wpo[:, 0:1]                       # (2*brows, 1) nondecr.
+
+        bases = base_t + sub * jax.lax.broadcasted_iota(
+            jnp.int32, (1, nsub), 1)
+        cnt_b = jnp.sum((rowfirst <= bases).astype(jnp.int32),
+                        axis=0, keepdims=True)       # (1, nsub)
+        if dyn:
+            cnt_e = jnp.sum((rowfirst <= bases + (sub - 1)).astype(jnp.int32),
+                            axis=0, keepdims=True)   # (1, nsub)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1)
+
+        for s in range(nsub):
+            base_s = base_t + s * sub
+            cb = jnp.sum(jnp.where(lane == s, cnt_b, 0))
+            p_col = base_s + jax.lax.broadcasted_iota(
+                jnp.int32, (sub, 1), 0)
+
+            if not dyn:
+                row0 = jnp.clip((cb - 2) >> 3,
+                                0, (2 * brows - frows) // 8) * 8
+                fpo = wpo[pl.ds(row0, frows), :]
+                fd = wd[pl.ds(row0, frows), :]
+                acc = jnp.zeros((sub, _WROW), jnp.int32)
+                for r in range(frows):
+                    acc = acc + jnp.where(fpo[r:r + 1, :] == p_col,
+                                          fd[r:r + 1, :], 0)
+            else:
+                ce = jnp.sum(jnp.where(lane == s, cnt_e, 0))
+                g0 = jnp.clip((cb - 2) >> 3, 0, ngmax - 1)
+                # rows needed: [cb - 2, ce - 1] (rows whose first offset
+                # is past the subtile end contribute nothing; rows two
+                # below the base count cannot reach the base)
+                ng = jnp.clip((ce - g0 * 8 + 7) >> 3, 1, ngmax - g0)
+
+                def body(g, acc):
+                    r8 = jnp.clip(g0 + g, 0, ngmax - 1)
+                    bpo = wpo[pl.ds(r8 * 8, 8), :]
+                    bd = wd[pl.ds(r8 * 8, 8), :]
+                    for r in range(8):
+                        acc = acc + jnp.where(bpo[r:r + 1, :] == p_col,
+                                              bd[r:r + 1, :], 0)
+                    return acc
+
+                acc = jax.lax.fori_loop(
+                    0, ng, body, jnp.zeros((sub, _WROW), jnp.int32))
+
+            out_ref[s, :] = jnp.sum(acc, axis=1)
+
+    return kernel
+
+
+def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
+                    tile: int, sub: int, seed32, dyn: bool):
+    """Wide-layout driver for expand_px (accum in {"wide", "dyn"})."""
+    brows = _wbrows(tile)
+    assert tile % sub == 0 and _wfrows(sub) <= 2 * brows
+    assert tile // sub % 8 == 0 and sub % 128 == 0, "out needs 8k x 128k"
+    m = pix_off.shape[0]
+    t_out = -(-n_px_cap // tile)
+    nblocks = -(-m // (_WROW * brows)) + 2
+    rows_pad = nblocks * brows
+
+    seed = (jnp.int32(_SEED32) if seed32 is None
+            else jnp.asarray(seed32).view(jnp.int32).reshape(()))
+    px_i = px32.view(jnp.int32)
+    prev = jnp.concatenate([seed[None], px_i[:-1]])
+    d = px_i - prev
+
+    def pad_to(x, n, fill):
+        return jnp.concatenate([x, jnp.full((n - x.shape[0],), fill, x.dtype)])
+
+    po_p = pad_to(pix_off.astype(jnp.int32), rows_pad * _WROW, _INF)
+    d_p = pad_to(d, rows_pad * _WROW, 0)
+    po_r = po_p.reshape(rows_pad, _WROW)
+    d_r = d_p.reshape(rows_pad, _WROW)
+
+    rowfirst = po_r[:, 0]
+    qs = jnp.arange(t_out, dtype=jnp.int32) * tile
+    bshift = brows.bit_length() - 1
+    r0 = jnp.searchsorted(rowfirst, qs, method="sort").astype(jnp.int32)
+    qb = jnp.maximum(r0 - 1, 0) >> bshift
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_out,),
+        in_specs=[
+            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t], 0)),
+            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t] + 1, 0)),
+            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t], 0)),
+            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile // sub, sub), lambda t, q: (t, 0)),
+        scratch_shapes=[pltpu.VMEM((2 * brows, _WROW), jnp.int32),
+                        pltpu.VMEM((2 * brows, _WROW), jnp.int32)],
+    )
+    landed = pl.pallas_call(
+        _make_wide_kernel(tile, sub, dyn),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (t_out * (tile // sub), sub), jnp.int32),
+        interpret=interpret,
+    )(qb, po_r, po_r, d_r, d_r)
+    landed = landed.reshape(-1)[:n_px_cap]
+    return (jnp.cumsum(landed) + seed).view(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -205,6 +361,9 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     its value; pixels before any chunk get the seed (truncation
     tolerance, reference qoi.h:544). Returns (n_px_cap,) u32.
     """
+    if accum in ("wide", "dyn"):
+        return _expand_px_wide(pix_off, px32, n_px_cap, interpret,
+                               tile, sub, seed32, dyn=accum == "dyn")
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows
     # lane-major output blocks: one row per subtile, Mosaic requires the

@@ -94,20 +94,22 @@ def _synth_records(m, seed, max_run=62):
     return pix_off, px
 
 
+@pytest.mark.parametrize("accum", ["sum", "wide", "dyn"])
 @pytest.mark.parametrize("m,cap,seed", [
     (600, 512, 0),        # truncation: offsets overflow the cap
     (6000, 4096, 1),
     (100, 2048, 2),       # short stream: tail repeats the last chunk px
     (70000, 65536, 3),
 ])
-def test_expand_kernel_matches_xla(m, cap, seed):
+def test_expand_kernel_matches_xla(m, cap, seed, accum):
     import jax.numpy as jnp
 
     from qoi_tpu.kernels import expand
 
     pix_off, px = _synth_records(m, seed)
     got = np.asarray(expand.expand_px(
-        jnp.asarray(pix_off), jnp.asarray(px), cap, interpret=True))
+        jnp.asarray(pix_off), jnp.asarray(px), cap, interpret=True,
+        accum=accum))
     want = np.asarray(expand.expand_px_xla(
         jnp.asarray(pix_off), jnp.asarray(px), cap))
     np.testing.assert_array_equal(got, want)
@@ -153,7 +155,9 @@ def test_expand_kernel_big_tile():
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("geometry", ["max_runs", "alternating", "dot_dense"])
+@pytest.mark.parametrize("geometry", [
+    "max_runs", "alternating", "dot_dense",
+    "max_runs_dyn", "alternating_dyn", "alternating_wide"])
 def test_expand_kernel_adversarial_geometry(geometry):
     """Anchor/window edge geometries for the vectorized in-kernel anchor
     path: max-sparsity (every byte a 62-run: each output subtile's window
@@ -164,10 +168,10 @@ def test_expand_kernel_adversarial_geometry(geometry):
 
     from qoi_tpu.kernels import expand
 
-    if geometry == "max_runs":
+    if geometry.startswith("max_runs"):
         pix_off, px = _all_one_byte_chunks(4096, 62)
-        cap, accum = 65536, "sum"
-    elif geometry == "alternating":
+        cap, accum = 65536, geometry[9:] or "sum"
+    elif geometry.startswith("alternating"):
         rng = np.random.default_rng(5)
         npix = np.zeros(30000, np.int64)
         px = np.zeros(30000, np.uint32)
@@ -186,7 +190,7 @@ def test_expand_kernel_adversarial_geometry(geometry):
                     i += 5
         px[i:] = px[i - 1]
         pix_off = (np.cumsum(npix) - npix).astype(np.int32)
-        cap, accum = 32768, "sum"
+        cap, accum = 32768, geometry[12:] or "sum"
     else:
         pix_off, px = _synth_records(20000, 11, max_run=1)
         cap, accum = 16384, "dot"

@@ -235,8 +235,9 @@ def cmd_expand():
     _floor_probe(jax, jnp, dpo)
 
     want = None
-    for tile, acc in ((1024, "sum"), (1024, "noop"), (1024, "dot"),
-                      (2048, "dot"), (4096, "dot")):
+    for tile, acc in ((1024, "sum"), (1024, "noop"), (1024, "wide"),
+                      (1024, "dyn"), (2048, "wide"), (2048, "dyn"),
+                      (1024, "dot")):
         f = jax.jit(lambda p, x, t=tile, a=acc: expand.expand_px(
             p, x, cap, tile=t, accum=a, interpret=_MINI))
         t0 = time.perf_counter()
