@@ -351,7 +351,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     "n_px_cap", "interpret", "tile", "sub", "accum"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
               tile: int = _TILE, sub: int = _SUB, seed32=None,
-              accum: str = "sum"):
+              accum: str = "wide"):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after

@@ -414,7 +414,7 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
 
 
 def _expand_packed(starts, px32, pix_off, n_px_cap: int,
-                   use_kernel: bool = False, accum: str = "sum"):
+                   use_kernel: bool = False, accum: str = "wide"):
     """Run expansion via the telescoping-delta formulation
     (kernels/expand.py): out[p] = seed + sum of px-deltas over bytes
     with pix_off <= p, which telescopes to the governing chunk's px.
@@ -441,7 +441,7 @@ def _use_kernel_default() -> bool:
     "n_px_cap", "max_rounds", "use_kernel", "accum"))
 def _decode_device(data, chunks_len, n_px_cap: int,
                    max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False,
-                   accum: str = "sum"):
+                   accum: str = "wide"):
     px, starts, npix, pix_off, conv, rounds, _ = _decode_core(
         data, chunks_len, max_rounds)
     out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel, accum)
@@ -452,7 +452,7 @@ def _decode_device(data, chunks_len, n_px_cap: int,
     "n_px_cap", "max_rounds", "use_kernel", "accum"))
 def _decode_device_batch(data, chunks_len, n_px_cap: int,
                          max_rounds: int = _MAX_ROUNDS,
-                         use_kernel: bool = False, accum: str = "sum"):
+                         use_kernel: bool = False, accum: str = "wide"):
     return jax.vmap(
         lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel,
                                     accum)
@@ -464,7 +464,7 @@ def _decode_device_batch(data, chunks_len, n_px_cap: int,
 def _decode_device_batch_chunked(data, chunks_len, n_px_cap: int,
                                  max_rounds: int = _MAX_ROUNDS,
                                  use_kernel: bool = False,
-                                 sub_batch: int = 8, accum: str = "sum"):
+                                 sub_batch: int = 8, accum: str = "wide"):
     """Large-batch decode as ONE program: lax.map over vmapped sub-batches.
 
     A flat vmap over B streams holds every stream's intermediates live at

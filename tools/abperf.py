@@ -87,44 +87,48 @@ def cmd_encode(batch_frames: int = 8):
              + np.asarray(jax.device_get(buf))[:tot].tobytes() + fmt.TRAILER)
         assert s == want0, "oracle mismatch"
 
-    for seg in (4096, 1024, 512):
-        @jax.jit
-        def enc_one(p, s=seg):
+    from qoi_tpu.kernels import copy as kcopy
+
+    # barrier variants: a Pallas identity copy between staging and
+    # compaction forces staging to materialize in HBM inside ONE program
+    # — PERF_NOTES measured compaction at ~61 ms fused vs ~5 ms from a
+    # materialized buffer (remat/layout penalty), while a second program
+    # dispatch costs a device-serial ~30-40 ms floor
+    for name, seg, barrier in (("pipe", 4096, False),
+                               ("barrier", 4096, True),
+                               ("barrier", 1024, True),
+                               ("map", 4096, False)):
+        def enc_body(p, s=seg, b=barrier):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
-            return compact.compact_bytes6(ch.staging, ch.lens, cap * 6, seg=s)
+            st, ln = ch.staging, ch.lens
+            if b:
+                st = kcopy.hbm_copy(st, interpret=_MINI)
+                ln = kcopy.hbm_copy(ln, interpret=_MINI)
+            return compact.compact_bytes6(st, ln, cap * 6, seg=s)
 
-        def run_pipe(e=enc_one):
-            outs = [e(x) for x in xs]
-            for _, t in outs:
-                int(jax.device_get(t))
-            return outs[0]
+        if name == "map":
+            @jax.jit
+            def enc_map(pb, body=enc_body):
+                return jax.lax.map(body, pb)
 
-        t0 = time.perf_counter()
-        verify(*run_pipe())
-        log(f"pipe seg={seg} compile+verify {time.perf_counter()-t0:.0f}s")
-        mn, ts = _mins(run_pipe)
-        print(f"pipe seg={seg}: min {mn*1e3:.0f} ms "
-              f"({batch_frames*n/1e6/mn:.1f} Mpx/s) "
-              f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+            def run(e=enc_map):
+                bufs, tots = e(xb)
+                int(jax.device_get(tots[-1]))
+                return bufs[0], tots[0]
+        else:
+            enc_one = jax.jit(enc_body)
 
-        @jax.jit
-        def enc_map(pb, s=seg):
-            def one(p):
-                ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
-                return compact.compact_bytes6(
-                    ch.staging, ch.lens, cap * 6, seg=s)
-            return jax.lax.map(one, pb)
-
-        def run_map(e=enc_map):
-            bufs, tots = e(xb)
-            int(jax.device_get(tots[-1]))
-            return bufs[0], tots[0]
+            def run(e=enc_one):
+                outs = [e(x) for x in xs]
+                for _, t in outs:
+                    int(jax.device_get(t))
+                return outs[0]
 
         t0 = time.perf_counter()
-        verify(*run_map())
-        log(f"map seg={seg} compile+verify {time.perf_counter()-t0:.0f}s")
-        mn, ts = _mins(run_map)
-        print(f"map  seg={seg}: min {mn*1e3:.0f} ms "
+        verify(*run())
+        log(f"{name} seg={seg} compile+verify {time.perf_counter()-t0:.0f}s")
+        mn, ts = _mins(run)
+        print(f"{name} seg={seg}: min {mn*1e3:.0f} ms "
               f"({batch_frames*n/1e6/mn:.1f} Mpx/s) "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
 
@@ -182,17 +186,17 @@ def cmd_decode(unique_streams: int = 8):
     f16 = jax.jit(functools.partial(
         v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
     bench("b16 flat sum", lambda d, c: f16(d, c), dup(db, 2), dup(dc, 2))
+    f16w = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="wide"))
+    bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
     for k, name in ((4, "b32"), (6, "b48")):
         fs = jax.jit(functools.partial(
             v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=not _MINI,
-            sub_batch=8))
-        bench(f"{name} map8 sum", lambda d, c, f=fs: f(d, c),
+            sub_batch=8, accum="wide"))
+        bench(f"{name} map8 wide", lambda d, c, f=fs: f(d, c),
               dup(db, k), dup(dc, k))
-    fd = jax.jit(functools.partial(
-        v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=not _MINI,
-        sub_batch=8, accum="dot"))
-    bench("b32 map8 dot", lambda d, c: fd(d, c), dup(db, 4), dup(dc, 4))
 
     # resolve scan-length sweep: the B=2048 cap was tuned single-stream;
     # vmapped batches amortize per-step overhead, shifting the optimum
@@ -235,25 +239,25 @@ def cmd_expand():
     _floor_probe(jax, jnp, dpo)
 
     want = None
-    for tile, acc in ((1024, "sum"), (1024, "noop"), (1024, "wide"),
-                      (1024, "dyn"), (2048, "wide"), (2048, "dyn"),
-                      (1024, "dot")):
-        f = jax.jit(lambda p, x, t=tile, a=acc: expand.expand_px(
-            p, x, cap, tile=t, accum=a, interpret=_MINI))
+    for tile, sub, acc in ((1024, 128, "sum"), (1024, 128, "noop"),
+                           (1024, 128, "wide"), (2048, 128, "wide"),
+                           (2048, 256, "wide"), (4096, 512, "wide")):
+        f = jax.jit(lambda p, x, t=tile, sb=sub, a=acc: expand.expand_px(
+            p, x, cap, tile=t, sub=sb, accum=a, interpret=_MINI))
         t0 = time.perf_counter()
         out = f(dpo, dpx)
         s = int(jax.device_get(jnp.sum(out.view(jnp.int32))))
-        log(f"tile={tile}/{acc} compile+run {time.perf_counter()-t0:.0f}s")
+        log(f"tile={tile}/{sub}/{acc} compile+run {time.perf_counter()-t0:.0f}s")
         if acc != "noop":  # noop is the DMA/anchor ablation, wrong by design
             if want is None:
                 xla = jax.jit(lambda p, x: expand.expand_px_xla(p, x, cap))
                 assert bool(jax.device_get(jnp.all(out == xla(dpo, dpx)))), \
                     "kernel != XLA reference"
                 want = s
-            assert s == want, f"tile={tile}/{acc} checksum mismatch"
+            assert s == want, f"tile={tile}/{sub}/{acc} checksum mismatch"
         mn, ts = _mins(
             lambda: int(jax.device_get(f(dpo, dpx)[:1].view(jnp.int32)[0])))
-        print(f"tile={tile}/{acc}: min {mn*1e3:.1f} ms "
+        print(f"tile={tile}/{sub}/{acc}: min {mn*1e3:.1f} ms "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
 
 
