@@ -26,6 +26,7 @@ import numpy as np
 
 from .. import format as fmt
 from ..ops import compact, scans, table
+from ..utils import profiling
 
 _SEED = jnp.array(fmt.SEED_PIXEL, dtype=jnp.uint8)
 
@@ -189,6 +190,7 @@ def encode_stage_chunks(
 
 @jax.jit
 def _encode_device(px4: jnp.ndarray, n_valid: jnp.ndarray):
+    """Fused one-program encode (the bench.py program shape)."""
     with profiling.annotate("qoi.encode.stage_chunks"):
         chunks = encode_stage_chunks(px4, n_valid)
     capacity = px4.shape[0] * 6
@@ -208,16 +210,19 @@ def _prep_eq(px4, n_valid):
 
 @jax.jit
 def _encode_phase_a(px4: jnp.ndarray, n_valid: jnp.ndarray):
-    eq = _prep_eq(px4, n_valid)
-    return table.table_hit_local(
-        table.hash64(px4), table.pack_rgba(px4), write=~eq)
+    with profiling.annotate("qoi.encode.table_local"):
+        eq = _prep_eq(px4, n_valid)
+        return table.table_hit_local(
+            table.hash64(px4), table.pack_rgba(px4), write=~eq)
 
 
 @jax.jit
 def _encode_phase_b(px4: jnp.ndarray, n_valid: jnp.ndarray, local):
-    chunks = encode_stage_chunks(px4, n_valid, table_local=local)
+    with profiling.annotate("qoi.encode.stage_chunks"):
+        chunks = encode_stage_chunks(px4, n_valid, table_local=local)
     capacity = px4.shape[0] * 6
-    return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
+    with profiling.annotate("qoi.encode.compact"):
+        return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
 
 
 def encode_device_split(px4, n_valid):

@@ -87,23 +87,23 @@ def cmd_encode(batch_frames: int = 8):
              + np.asarray(jax.device_get(buf))[:tot].tobytes() + fmt.TRAILER)
         assert s == want0, "oracle mismatch"
 
-    from qoi_tpu.kernels import copy as kcopy
+    from qoi_tpu.kernels import copy as kcopy, pack as kpack
 
-    # barrier variants: a Pallas identity copy between staging and
-    # compaction forces staging to materialize in HBM inside ONE program
-    # — PERF_NOTES measured compaction at ~61 ms fused vs ~5 ms from a
-    # materialized buffer (remat/layout penalty), while a second program
-    # dispatch costs a device-serial ~30-40 ms floor
-    for name, seg, barrier in (("pipe", 4096, False),
-                               ("barrier", 4096, True),
-                               ("barrier", 1024, True),
-                               ("map", 4096, False)):
-        def enc_body(p, s=seg, b=barrier):
+    # pipe = the production fused program, per-frame dispatch (hardware
+    # round-2 results: barrier 52-61 Mpx/s, map 97.8 vs pipe 104.3 — the
+    # Pallas HBM-copy barrier costs far more than the fusion penalty it
+    # was meant to dodge). pack-T = record-densify sort + the Pallas
+    # placement kernel (kernels/pack.py) at output tile T words.
+    for name, seg, mode in (("pipe", 4096, "xla"),
+                            ("pack", 2048, "pack"),
+                            ("pack", 4096, "pack"),
+                            ("map", 4096, "map")):
+        def enc_body(p, s=seg, m=mode):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
-            if b:
-                st = kcopy.hbm_copy(st, interpret=_MINI)
-                ln = kcopy.hbm_copy(ln, interpret=_MINI)
+            if m == "pack":
+                return kpack.compact_bytes6_pack(
+                    st, ln, cap * 6, tile=s, interpret=_MINI)
             return compact.compact_bytes6(st, ln, cap * 6, seg=s)
 
         if name == "map":
@@ -131,6 +131,79 @@ def cmd_encode(batch_frames: int = 8):
         print(f"{name} seg={seg}: min {mn*1e3:.0f} ms "
               f"({batch_frames*n/1e6/mn:.1f} Mpx/s) "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
+
+def cmd_pack():
+    """Phase ablation for the pack-kernel compaction (kernels/pack.py)
+    at the bench shape: where do the ~18 ms/frame vs the two-tier sort
+    go — densify sort, contribution prep, or the placement kernel?"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qoi_tpu import format as fmt
+    from qoi_tpu.kernels import pack as kpack
+    from qoi_tpu.models import pipeline
+    from qoi_tpu.ops import compact
+    from qoi_tpu.utils import testimages
+
+    desc = fmt.StreamDesc(W, H, 4)
+    n = desc.num_pixels
+    cap = -(-n // 1024) * 1024
+    img = pipeline.force_rgba(testimages.mixed(W, H, 4, seed=3), desc)
+    padded = np.zeros((cap, 4), np.uint8)
+    padded[:n] = img
+    x = jax.device_put(jnp.asarray(padded))
+    _floor_probe(jax, jnp, x)
+
+    stage = jax.jit(lambda p: pipeline.encode_stage_chunks(p, jnp.int32(n)))
+    ch = jax.block_until_ready(stage(x))
+    st = jax.device_put(ch.staging)
+    ln = jax.device_put(ch.lens)
+
+    def timeit(name, f, *args):
+        g = jax.jit(f)
+        out = g(*args)
+        s0 = int(jax.device_get(jnp.ravel(jax.tree.leaves(out)[0])[0]
+                                .astype(jnp.int32)))
+        mn, ts = _mins(lambda: int(jax.device_get(
+            jnp.ravel(jax.tree.leaves(g(*args))[0])[0].astype(jnp.int32))))
+        print(f"{name}: min {mn*1e3:.1f} ms "
+              f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+        return s0
+
+    timeit("two-tier compact", lambda a, b: compact.compact_bytes6(
+        a, b, cap * 6), st, ln)
+    timeit("densify sort", lambda a, b: kpack._densify_sort(a, b)[1], st, ln)
+    timeit("densify shift", lambda a, b: kpack._densify_shift(a, b)[1],
+           st, ln)
+    timeit("pack full sort", lambda a, b: kpack.compact_bytes6_pack(
+        a, b, cap * 6, tile=2048, interpret=_MINI, densify="sort")[0],
+        st, ln)
+    timeit("pack full shift", lambda a, b: kpack.compact_bytes6_pack(
+        a, b, cap * 6, tile=2048, interpret=_MINI, densify="shift")[0],
+        st, ln)
+
+    # kernel alone: densified records precomputed outside the timed fn
+    off_d, lo_d, hi_d, len_d = jax.block_until_ready(
+        jax.jit(kpack._densify_sort)(st, ln))
+    total = jax.block_until_ready(
+        jax.jit(lambda l: jnp.sum(l))(ln)).astype(jnp.int32)
+    dargs = [jax.device_put(v) for v in (off_d, lo_d, hi_d)]
+
+    def place_only(off_v, lo_v, hi_v):
+        s = ((off_v & 3) << 3).astype(jnp.uint32)
+        lo_u = lo_v.view(jnp.uint32)
+        hi_u = hi_v.view(jnp.uint32)
+        c0 = lo_u << s
+        c1 = ((lo_u >> 1) >> (31 - s)) | (hi_u << s)
+        c2 = (hi_u >> 1) >> (31 - s)
+        return kpack._place_words(
+            off_v >> 2, c0.view(jnp.int32), c1.view(jnp.int32),
+            c2.view(jnp.int32), total, cap * 6 // 4, 2048, 128,
+            interpret=_MINI)
+
+    timeit("place kernel only", place_only, *dargs)
 
 
 def cmd_decode(unique_streams: int = 8):
@@ -264,7 +337,7 @@ def cmd_expand():
 def main():
     global W, H, REPS
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("what", choices=["encode", "decode", "expand"])
+    ap.add_argument("what", choices=["encode", "decode", "expand", "pack"])
     ap.add_argument("--mini", action="store_true",
                     help="tiny shapes + forced CPU: smoke-tests every "
                          "variant end-to-end without touching the TPU")
@@ -278,7 +351,7 @@ def main():
         globals()['_MINI'] = True
     import jax
     log(f"device: {jax.devices()[0]}")
-    {"encode": cmd_encode, "decode": cmd_decode,
+    {"encode": cmd_encode, "decode": cmd_decode, "pack": cmd_pack,
      "expand": cmd_expand}[args.what]()
 
 
