@@ -83,7 +83,7 @@ def _make_pack_kernel(tile: int, sub: int):
     nsub = tile // sub
 
     def kernel(qb_ref, tot_ref, wp_a, wp_b, c0_a, c0_b, c1_a, c1_b,
-               c2_a, c2_b, out_ref, swp, sc0, sc1, sc2):
+               out_ref, swp, sc0, sc1):
         t = pl.program_id(0)
         base_t = t * tile
 
@@ -98,8 +98,6 @@ def _make_pack_kernel(tile: int, sub: int):
             sc0[brows:2 * brows, :] = c0_b[...]
             sc1[0:brows, :] = c1_a[...]
             sc1[brows:2 * brows, :] = c1_b[...]
-            sc2[0:brows, :] = c2_a[...]
-            sc2[brows:2 * brows, :] = c2_b[...]
             rowfirst = swp[:, 0:1]                    # (2*brows, 1) nondecr.
 
             # fine-window anchors for ALL subtiles in one broadcast
@@ -122,7 +120,6 @@ def _make_pack_kernel(tile: int, sub: int):
                 fwp = swp[pl.ds(row0, frows), :]
                 fc0 = sc0[pl.ds(row0, frows), :]
                 fc1 = sc1[pl.ds(row0, frows), :]
-                fc2 = sc2[pl.ds(row0, frows), :]
                 q_col = base_s + jax.lax.broadcasted_iota(
                     jnp.int32, (sub, 1), 0)
 
@@ -132,8 +129,6 @@ def _make_pack_kernel(tile: int, sub: int):
                     acc = acc + jnp.where(wr == q_col, fc0[r:r + 1, :], 0)
                     acc = acc + jnp.where(wr == q_col - 1,
                                           fc1[r:r + 1, :], 0)
-                    acc = acc + jnp.where(wr == q_col - 2,
-                                          fc2[r:r + 1, :], 0)
                 out_ref[s, :] = jnp.sum(acc, axis=1)
 
     return kernel
@@ -141,12 +136,13 @@ def _make_pack_kernel(tile: int, sub: int):
 
 @functools.partial(jax.jit, static_argnames=("w_cap", "tile", "sub",
                                              "interpret"))
-def _place_words(wp, c0, c1, c2, total, w_cap: int,
+def _place_words(wp, c0, c1, total, w_cap: int,
                  tile: int, sub: int, interpret: bool):
     """Scatter word contributions to their word positions. wp: (R,) i32
-    nondecreasing (pad with _INF); c0/c1/c2: (R,) i32 contributions to
-    words wp, wp+1, wp+2. Returns (w_cap,) i32 words (valid while any
-    contributor exists; beyond `total` words: unspecified)."""
+    nondecreasing (pad with _INF); c0/c1: (R,) i32 contributions to
+    words wp and wp+1 (the rare third word is pre-folded into the NEXT
+    record's c0 by the caller). Returns (w_cap,) i32 words (valid while
+    any contributor exists; beyond `total` words: unspecified)."""
     brows = _pbrows(tile)
     frows = _pfrows(sub)
     assert tile % sub == 0 and (tile // sub) % 8 == 0 and sub % 128 == 0
@@ -163,7 +159,6 @@ def _place_words(wp, c0, c1, c2, total, w_cap: int,
     wp_r = pad_to(wp, rows_pad * _WROW, _INF).reshape(rows_pad, _WROW)
     c0_r = pad_to(c0, rows_pad * _WROW, 0).reshape(rows_pad, _WROW)
     c1_r = pad_to(c1, rows_pad * _WROW, 0).reshape(rows_pad, _WROW)
-    c2_r = pad_to(c2, rows_pad * _WROW, 0).reshape(rows_pad, _WROW)
 
     # block anchor: the row before the first row whose first word offset
     # is >= base - 2 (records two words back can still spill into the
@@ -185,12 +180,10 @@ def _place_words(wp, c0, c1, c2, total, w_cap: int,
             pl.BlockSpec((brows, _WROW), lambda t, q, tt: (q[t] + 1, 0)),
             pl.BlockSpec((brows, _WROW), lambda t, q, tt: (q[t], 0)),
             pl.BlockSpec((brows, _WROW), lambda t, q, tt: (q[t] + 1, 0)),
-            pl.BlockSpec((brows, _WROW), lambda t, q, tt: (q[t], 0)),
-            pl.BlockSpec((brows, _WROW), lambda t, q, tt: (q[t] + 1, 0)),
         ],
         out_specs=pl.BlockSpec((tile // sub, sub), lambda t, q, tt: (t, 0)),
         scratch_shapes=[pltpu.VMEM((2 * brows, _WROW), jnp.int32)
-                        for _ in range(4)],
+                        for _ in range(3)],
     )
     return pl.pallas_call(
         _make_pack_kernel(tile, sub),
@@ -198,7 +191,7 @@ def _place_words(wp, c0, c1, c2, total, w_cap: int,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
         interpret=interpret,
-    )(qb, tot_w, wp_r, wp_r, c0_r, c0_r, c1_r, c1_r, c2_r, c2_r
+    )(qb, tot_w, wp_r, wp_r, c0_r, c0_r, c1_r, c1_r
       ).reshape(-1)[:w_cap]
 
 
@@ -337,15 +330,14 @@ def _densify_shift(staging6, lens, seg: int = 0):
 
 def compact_bytes6_pack(staging6, lens, capacity: int, *,
                         tile: int = 2048, sub: int = 128,
-                        interpret: bool = False, densify: str = "shift"):
+                        interpret: bool = False, densify: str = "shift",
+                        barrier: bool = True):
     """Drop-in replacement for ops.compact.compact_bytes6 via the pack
     kernel. staging6: (6, N) uint8 byte planes; lens: (N,) int32 in
     [0, 6]; capacity: static output byte size (multiple of 4). Returns
     (buffer (capacity,) uint8 valid in [0, total), total int32)."""
     assert capacity % 4 == 0
-    offs = exclusive_cumsum(lens)
-    n = lens.shape[0]
-    total = ((offs[-1] + lens[-1]) if n else jnp.int32(0)).astype(jnp.int32)
+    total = jnp.sum(lens).astype(jnp.int32)
 
     dense = {"shift": _densify_shift, "sort": _densify_sort}[densify]
     off_d, lo_d, hi_d, len_d = dense(staging6, lens)
@@ -354,13 +346,28 @@ def compact_bytes6_pack(staging6, lens, capacity: int, *,
     s = ((off_d & 3) << 3).astype(jnp.uint32)
     lo_u = lo_d.view(jnp.uint32)
     hi_u = hi_d.view(jnp.uint32)
-    c0 = lo_u << s
-    c1 = ((lo_u >> 1) >> (31 - s)) | (hi_u << s)
-    c2 = (hi_u >> 1) >> (31 - s)
+    c0 = (lo_u << s).view(jnp.int32)
+    c1 = (((lo_u >> 1) >> (31 - s)) | (hi_u << s)).view(jnp.int32)
+    c2 = ((hi_u >> 1) >> (31 - s)).view(jnp.int32)
     wp = off_d >> 2
 
+    # fold the rare third-word spill (only s=24, len=6 records have one)
+    # into the NEXT record's c0: that record starts at off+6, i.e. its
+    # word is exactly wp+2, and the spilled byte is that word's lane 0,
+    # which the next record (starting at byte 1 of it) never owns. One
+    # sentinel slot at wp = total>>2 catches a spill from a final record
+    # when every pixel emitted (no tail slot left to inherit it).
+    wp = jnp.concatenate([wp, (total >> 2)[None]])
+    c0 = jnp.concatenate([c0[:1], c0[1:] | c2[:-1], c2[-1:]])
+    c1 = jnp.concatenate([c1, jnp.zeros((1,), jnp.int32)])
+
+    if barrier:
+        # pin the plane values so XLA cannot rematerialize the densify
+        # chain once per pallas operand (fused-program remat penalty,
+        # PERF_NOTES.md)
+        wp, c0, c1, total = jax.lax.optimization_barrier(
+            (wp, c0, c1, total))
     words = _place_words(
-        wp, c0.view(jnp.int32), c1.view(jnp.int32), c2.view(jnp.int32),
-        total, capacity // 4, tile, sub, interpret)
+        wp, c0, c1, total, capacity // 4, tile, sub, interpret)
     out = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
     return out, total

@@ -102,6 +102,20 @@ def test_all_six_byte_records():
     _check(staging, lens, n * 6)
 
 
+def test_third_word_spill_fold():
+    """Records at offset 3 mod 4 with len 6 spill a byte into a third
+    output word, folded into the next record's c0 plane — including the
+    every-pixel-emits case where the LAST record spills and only the
+    appended sentinel slot can catch it."""
+    rng = np.random.default_rng(6)
+    n = 2048
+    staging = rng.integers(0, 256, size=(6, n), dtype=np.uint8)
+    lens = np.full(n, 6, np.int32)
+    lens[0] = 3                      # offsets become 3, 9, 15, 21, ...
+    staging[3:, 0] = 0
+    _check(staging, lens, n * 6)     # last record: off%4==3, len 6, R==N
+
+
 def test_all_one_byte_records():
     rng = np.random.default_rng(3)
     n = 4096

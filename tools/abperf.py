@@ -95,12 +95,23 @@ def cmd_encode(batch_frames: int = 8):
     # was meant to dodge). pack-T = record-densify sort + the Pallas
     # placement kernel (kernels/pack.py) at output tile T words.
     for name, seg, mode in (("pipe", 4096, "xla"),
+                            ("stages", 0, "stages"),
+                            ("packprep", 0, "packprep"),
                             ("pack", 2048, "pack"),
-                            ("pack", 4096, "pack"),
                             ("map", 4096, "map")):
         def enc_body(p, s=seg, m=mode):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
+            if m == "stages":
+                # compaction ablated: bounds the stages' in-context cost
+                # (NOT a valid encode — stream checksum only)
+                return (jnp.sum(st.view(jnp.int8).astype(jnp.int32))
+                        + jnp.sum(ln))[None].astype(jnp.uint8), jnp.sum(ln)
+            if m == "packprep":
+                # densify + prep, place kernel ablated (checksum only)
+                off_d, lo_d, hi_d, _ = kpack._densify_shift(st, ln)
+                return (jnp.sum(off_d) + jnp.sum(lo_d) + jnp.sum(hi_d)
+                        )[None].astype(jnp.uint8), jnp.sum(ln)
             if m == "pack":
                 return kpack.compact_bytes6_pack(
                     st, ln, cap * 6, tile=s, interpret=_MINI)
@@ -125,7 +136,10 @@ def cmd_encode(batch_frames: int = 8):
                 return outs[0]
 
         t0 = time.perf_counter()
-        verify(*run())
+        if mode in ("stages", "packprep"):
+            run()  # checksum program, nothing to verify
+        else:
+            verify(*run())
         log(f"{name} seg={seg} compile+verify {time.perf_counter()-t0:.0f}s")
         mn, ts = _mins(run)
         print(f"{name} seg={seg}: min {mn*1e3:.0f} ms "
@@ -177,12 +191,31 @@ def cmd_pack():
     timeit("densify sort", lambda a, b: kpack._densify_sort(a, b)[1], st, ln)
     timeit("densify shift", lambda a, b: kpack._densify_shift(a, b)[1],
            st, ln)
+
+    def prep_shift(a, b):
+        off_d, lo_d, hi_d, _ = kpack._densify_shift(a, b)
+        s = ((off_d & 3) << 3).astype(jnp.uint32)
+        lo_u = lo_d.view(jnp.uint32)
+        hi_u = hi_d.view(jnp.uint32)
+        c0 = lo_u << s
+        c1 = ((lo_u >> 1) >> (31 - s)) | (hi_u << s)
+        c2 = (hi_u >> 1) >> (31 - s)
+        return (off_d >> 2) + c0.view(jnp.int32) + c1.view(jnp.int32) \
+            + c2.view(jnp.int32)
+
+    timeit("prep shift no kernel", prep_shift, st, ln)
     timeit("pack full sort", lambda a, b: kpack.compact_bytes6_pack(
         a, b, cap * 6, tile=2048, interpret=_MINI, densify="sort")[0],
         st, ln)
     timeit("pack full shift", lambda a, b: kpack.compact_bytes6_pack(
-        a, b, cap * 6, tile=2048, interpret=_MINI, densify="shift")[0],
-        st, ln)
+        a, b, cap * 6, tile=2048, interpret=_MINI, densify="shift",
+        barrier=False)[0], st, ln)
+    timeit("pack full shift ob", lambda a, b: kpack.compact_bytes6_pack(
+        a, b, cap * 6, tile=2048, interpret=_MINI, densify="shift",
+        barrier=True)[0], st, ln)
+    timeit("pack shift t4096", lambda a, b: kpack.compact_bytes6_pack(
+        a, b, cap * 6, tile=4096, interpret=_MINI, densify="shift",
+        barrier=True)[0], st, ln)
 
     # kernel alone: densified records precomputed outside the timed fn
     off_d, lo_d, hi_d, len_d = jax.block_until_ready(
@@ -195,12 +228,14 @@ def cmd_pack():
         s = ((off_v & 3) << 3).astype(jnp.uint32)
         lo_u = lo_v.view(jnp.uint32)
         hi_u = hi_v.view(jnp.uint32)
-        c0 = lo_u << s
-        c1 = ((lo_u >> 1) >> (31 - s)) | (hi_u << s)
-        c2 = (hi_u >> 1) >> (31 - s)
+        c0 = (lo_u << s).view(jnp.int32)
+        c1 = (((lo_u >> 1) >> (31 - s)) | (hi_u << s)).view(jnp.int32)
+        c2 = ((hi_u >> 1) >> (31 - s)).view(jnp.int32)
+        wp = jnp.concatenate([off_v >> 2, (total >> 2)[None]])
+        c0 = jnp.concatenate([c0[:1], c0[1:] | c2[:-1], c2[-1:]])
+        c1 = jnp.concatenate([c1, jnp.zeros((1,), jnp.int32)])
         return kpack._place_words(
-            off_v >> 2, c0.view(jnp.int32), c1.view(jnp.int32),
-            c2.view(jnp.int32), total, cap * 6 // 4, 2048, 128,
+            wp, c0, c1, total, cap * 6 // 4, 2048, 128,
             interpret=_MINI)
 
     timeit("place kernel only", place_only, *dargs)
