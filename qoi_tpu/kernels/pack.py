@@ -328,6 +328,28 @@ def _densify_shift(staging6, lens, seg: int = 0):
     return off_d, lo_d, (hl_d & 0xFFFF), len_d
 
 
+def _prep_planes(off_d, lo_d, hi_d, total):
+    """Word position + contribution planes from dense records. Tail
+    records (len 0, contributions 0) land at wp = total>>2 — harmless
+    and nondecreasing. The rare third-word spill (only s=24, len=6
+    records have one) folds into the NEXT record's c0: that record
+    starts at off+6, i.e. its word is exactly wp+2, and the spilled
+    byte is that word's lane 0, which the next record (starting at
+    byte 1 of it) never owns. One sentinel slot at wp = total>>2
+    catches a spill from a final record when every pixel emitted (no
+    tail slot left to inherit it)."""
+    s = ((off_d & 3) << 3).astype(jnp.uint32)
+    lo_u = lo_d.view(jnp.uint32)
+    hi_u = hi_d.view(jnp.uint32)
+    c0 = (lo_u << s).view(jnp.int32)
+    c1 = (((lo_u >> 1) >> (31 - s)) | (hi_u << s)).view(jnp.int32)
+    c2 = ((hi_u >> 1) >> (31 - s)).view(jnp.int32)
+    wp = jnp.concatenate([off_d >> 2, (total >> 2)[None]])
+    c0 = jnp.concatenate([c0[:1], c0[1:] | c2[:-1], c2[-1:]])
+    c1 = jnp.concatenate([c1, jnp.zeros((1,), jnp.int32)])
+    return wp, c0, c1
+
+
 def compact_bytes6_pack(staging6, lens, capacity: int, *,
                         tile: int = 2048, sub: int = 128,
                         interpret: bool = False, densify: str = "shift",
@@ -341,25 +363,7 @@ def compact_bytes6_pack(staging6, lens, capacity: int, *,
 
     dense = {"shift": _densify_shift, "sort": _densify_sort}[densify]
     off_d, lo_d, hi_d, len_d = dense(staging6, lens)
-    # tail records: len 0, contributions 0; their wp (total>>2) is
-    # harmless (adds zero) and keeps the plane nondecreasing
-    s = ((off_d & 3) << 3).astype(jnp.uint32)
-    lo_u = lo_d.view(jnp.uint32)
-    hi_u = hi_d.view(jnp.uint32)
-    c0 = (lo_u << s).view(jnp.int32)
-    c1 = (((lo_u >> 1) >> (31 - s)) | (hi_u << s)).view(jnp.int32)
-    c2 = ((hi_u >> 1) >> (31 - s)).view(jnp.int32)
-    wp = off_d >> 2
-
-    # fold the rare third-word spill (only s=24, len=6 records have one)
-    # into the NEXT record's c0: that record starts at off+6, i.e. its
-    # word is exactly wp+2, and the spilled byte is that word's lane 0,
-    # which the next record (starting at byte 1 of it) never owns. One
-    # sentinel slot at wp = total>>2 catches a spill from a final record
-    # when every pixel emitted (no tail slot left to inherit it).
-    wp = jnp.concatenate([wp, (total >> 2)[None]])
-    c0 = jnp.concatenate([c0[:1], c0[1:] | c2[:-1], c2[-1:]])
-    c1 = jnp.concatenate([c1, jnp.zeros((1,), jnp.int32)])
+    wp, c0, c1 = _prep_planes(off_d, lo_d, hi_d, total)
 
     if barrier:
         # pin the plane values so XLA cannot rematerialize the densify

@@ -347,6 +347,15 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
 #: + jax.clear_caches() between variants).
 _SCAN_B_MAX = 2048
 
+#: expand-kernel geometry (kernels/expand.py): output pixels per grid
+#: step / pixels per subtile row. Standalone the kernel is accumulate-
+#: bound (tile 1024 == 2048 within noise, PERF_NOTES), but under a
+#: vmapped batch every lane's tiles become separate grid steps, so the
+#: per-step overhead share grows with the batch — abperf sweeps these
+#: the same way as _SCAN_B_MAX (set + jax.clear_caches()).
+_EXPAND_TILE = 1024
+_EXPAND_SUB = 128
+
 
 def _scan_block_len(m: int) -> int:
     """Static scan length B (positions per block): keeps lane width nb =
@@ -425,7 +434,8 @@ def _expand_packed(starts, px32, pix_off, n_px_cap: int,
     from ..kernels import expand as kexpand
 
     if use_kernel:
-        return kexpand.expand_px(pix_off, px32, n_px_cap, accum=accum)
+        return kexpand.expand_px(pix_off, px32, n_px_cap, accum=accum,
+                                 tile=_EXPAND_TILE, sub=_EXPAND_SUB)
     return kexpand.expand_px_xla(pix_off, px32, n_px_cap)
 
 

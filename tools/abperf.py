@@ -94,11 +94,17 @@ def cmd_encode(batch_frames: int = 8):
     # Pallas HBM-copy barrier costs far more than the fusion penalty it
     # was meant to dodge). pack-T = record-densify sort + the Pallas
     # placement kernel (kernels/pack.py) at output tile T words.
+    # Measured (r2, 8-deep pipelined dispatch, per-frame): stages 34.4,
+    # +densify/prep 18.9 (packprep 53.3), +kernel grid ~1.6 (packnoop
+    # 54.9), +kernel body 24.7 (pack 79.6 == pipe 79.6; tile 8192 ==
+    # 2048 — body-bound). v* = ONE vmapped program for the whole batch
+    # (round-1 stages vmap-4 was 13.5 ms/frame vs 36 single; the giant
+    # batched sort blocked vmap then, the pack kernel doesn't).
     for name, seg, mode in (("pipe", 4096, "xla"),
                             ("stages", 0, "stages"),
-                            ("packprep", 0, "packprep"),
                             ("pack", 2048, "pack"),
-                            ("map", 4096, "map")):
+                            ("vstages", 0, "stages"),
+                            ("vpack", 2048, "pack")):
         def enc_body(p, s=seg, m=mode):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
@@ -112,12 +118,31 @@ def cmd_encode(batch_frames: int = 8):
                 off_d, lo_d, hi_d, _ = kpack._densify_shift(st, ln)
                 return (jnp.sum(off_d) + jnp.sum(lo_d) + jnp.sum(hi_d)
                         )[None].astype(jnp.uint8), jnp.sum(ln)
+            if m == "packnoop":
+                # full pack but total=0: every kernel tile skips its
+                # body — bounds the in-context grid/DMA-issue overhead
+                off_d, lo_d, hi_d, _ = kpack._densify_shift(st, ln)
+                wp, c0, c1 = kpack._prep_planes(off_d, lo_d, hi_d,
+                                                jnp.sum(ln))
+                words = kpack._place_words(
+                    wp, c0, c1, jnp.int32(0), cap * 6 // 4, 2048, 128,
+                    interpret=_MINI)
+                return (jnp.sum(words))[None].astype(jnp.uint8), jnp.sum(ln)
             if m == "pack":
                 return kpack.compact_bytes6_pack(
                     st, ln, cap * 6, tile=s, interpret=_MINI)
             return compact.compact_bytes6(st, ln, cap * 6, seg=s)
 
-        if name == "map":
+        if name.startswith("v"):
+            @jax.jit
+            def enc_vmap(pb, body=enc_body):
+                return jax.vmap(body)(pb)
+
+            def run(e=enc_vmap):
+                bufs, tots = e(xb)
+                int(jax.device_get(tots[-1]))
+                return bufs[0], tots[0]
+        elif name == "map":
             @jax.jit
             def enc_map(pb, body=enc_body):
                 return jax.lax.map(body, pb)
@@ -136,7 +161,7 @@ def cmd_encode(batch_frames: int = 8):
                 return outs[0]
 
         t0 = time.perf_counter()
-        if mode in ("stages", "packprep"):
+        if mode in ("stages", "packprep", "packnoop"):
             run()  # checksum program, nothing to verify
         else:
             verify(*run())
@@ -291,31 +316,26 @@ def cmd_decode(unique_streams: int = 8):
               f"{mn*1e3/nb:.1f}/frame) all {[f'{t*1e3:.0f}' for t in ts]}",
               flush=True)
 
-    f16 = jax.jit(functools.partial(
-        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
-    bench("b16 flat sum", lambda d, c: f16(d, c), dup(db, 2), dup(dc, 2))
+    # anchor: the production config (b16 flat, wide accumulate). Earlier
+    # sweeps (PERF_NOTES): sum 126.6 vs wide 170 Mpx/s; chunked b32/b48
+    # identical to flat b16; resolve scan cap B=2048 > 1024 > 512.
     f16w = jax.jit(functools.partial(
         v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
         accum="wide"))
     bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
-    for k, name in ((4, "b32"), (6, "b48")):
-        fs = jax.jit(functools.partial(
-            v3._decode_device_batch_chunked, n_px_cap=npc, use_kernel=not _MINI,
-            sub_batch=8, accum="wide"))
-        bench(f"{name} map8 wide", lambda d, c, f=fs: f(d, c),
-              dup(db, k), dup(dc, k))
-
-    # resolve scan-length sweep: the B=2048 cap was tuned single-stream;
-    # vmapped batches amortize per-step overhead, shifting the optimum
-    for bcap in (1024, 512):
-        v3._SCAN_B_MAX = bcap
-        jax.clear_caches()  # _decode_device's traces captured the old cap
-        fb = jax.jit(functools.partial(
-            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
-        bench(f"b16 flat B={bcap}", lambda d, c, f=fb: f(d, c),
+    # expand-tile sweep: standalone the kernel is accumulate-bound and
+    # tile-size insensitive, but batched every lane's tiles are separate
+    # grid steps — bigger tiles cut the step count b*npc/tile 2-4x
+    for etile in (2048, 4096):
+        v3._EXPAND_TILE = etile
+        jax.clear_caches()
+        fe = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="wide"))
+        bench(f"b16 wide etile={etile}", lambda d, c, f=fe: f(d, c),
               dup(db, 2), dup(dc, 2))
-    v3._SCAN_B_MAX = 2048
+    v3._EXPAND_TILE = 1024
     jax.clear_caches()
 
 
