@@ -100,11 +100,20 @@ def cmd_encode(batch_frames: int = 8):
     # 2048 — body-bound). v* = ONE vmapped program for the whole batch
     # (round-1 stages vmap-4 was 13.5 ms/frame vs 36 single; the giant
     # batched sort blocked vmap then, the pack kernel doesn't).
+    # split* = TWO pipelined programs per frame: A materializes the
+    # staging planes (or dense records), B compacts from them. At 8-deep
+    # dispatch the program floors overlap, so the split only pays each
+    # program's REAL cost — the point is to dodge the ~1.8x fused-program
+    # remat tax on densify+place (PERF_NOTES: 10.4->18.9, 14.4->24.7).
+    # vmapped one-program variants are DEAD (hardware r2): vstages 160.4
+    # Mpx/s < pipelined stages 238.4 (vmap no longer amortizes at batch
+    # 8), and vpack OOMs HBM at compile (u32[8,12.4M,4] = 25 GB batched
+    # broadcast inside the place kernel's operand prep).
     for name, seg, mode in (("pipe", 4096, "xla"),
                             ("stages", 0, "stages"),
                             ("pack", 2048, "pack"),
-                            ("vstages", 0, "stages"),
-                            ("vpack", 2048, "pack")):
+                            ("split", 2048, "split"),
+                            ("splitd", 2048, "splitd")):
         def enc_body(p, s=seg, m=mode):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
@@ -133,7 +142,37 @@ def cmd_encode(batch_frames: int = 8):
                     st, ln, cap * 6, tile=s, interpret=_MINI)
             return compact.compact_bytes6(st, ln, cap * 6, seg=s)
 
-        if name.startswith("v"):
+        if mode in ("split", "splitd"):
+            if mode == "split":
+                prog_a = jax.jit(lambda p: (
+                    lambda ch: (ch.staging, ch.lens))(
+                    pipeline.encode_stage_chunks(p, jnp.int32(n))))
+                prog_b = jax.jit(lambda st, ln, s=seg: kpack.compact_bytes6_pack(
+                    st, ln, cap * 6, tile=s, interpret=_MINI))
+            else:
+                def a_body(p):
+                    ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+                    off_d, lo_d, hi_d, _ = kpack._densify_shift(
+                        ch.staging, ch.lens)
+                    return off_d, lo_d, hi_d, jnp.sum(ch.lens).astype(jnp.int32)
+
+                def b_body(off_d, lo_d, hi_d, total, s=seg):
+                    wp, c0, c1 = kpack._prep_planes(off_d, lo_d, hi_d, total)
+                    words = kpack._place_words(
+                        wp, c0, c1, total, cap * 6 // 4, s, 128,
+                        interpret=_MINI)
+                    return (jax.lax.bitcast_convert_type(
+                        words, jnp.uint8).reshape(-1), total)
+
+                prog_a = jax.jit(a_body)
+                prog_b = jax.jit(b_body)
+
+            def run(a=prog_a, b=prog_b):
+                outs = [b(*a(x)) for x in xs]
+                for _, t in outs:
+                    int(jax.device_get(t))
+                return outs[0]
+        elif name.startswith("v"):
             @jax.jit
             def enc_vmap(pb, body=enc_body):
                 return jax.vmap(body)(pb)
