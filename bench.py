@@ -63,20 +63,47 @@ def main() -> None:
 
     xs = [jax.device_put(jnp.asarray(batch[i])) for i in range(BATCH)]
 
-    # one fused program per frame (stages + gather-free table + two-tier
-    # segment-sort compaction), dispatched BATCH-deep so per-program
-    # overhead (~40 ms on this platform) overlaps compute in the async
-    # queue — measured faster than vmap batching (PERF_NOTES.md)
-    @jax.jit
-    def encode_one(p):
-        ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
-        return compact.compact_bytes6(ch.staging, ch.lens, cap * 6)
+    # TWO pipelined programs per frame (stages+densify -> dense records;
+    # prep+place kernel from the materialized planes), dispatched
+    # BATCH-deep so per-program floors (~25-40 ms here) overlap in the
+    # async queue. Measured (r2 abperf, same-process): splitd 106.5 vs
+    # fused pipe 103.6 / fused pack 104.2 Mpx/s; vmap batching is dead
+    # (vstages 160.4, vpack OOMs at compile). PERF_NOTES.md.
+    from qoi_tpu.kernels import pack as kpack
 
-    def encode_frames():
-        outs = [encode_one(x) for x in xs]
-        for _, t in outs:
-            int(jax.device_get(t))
-        return outs
+    use_pack = jax.devices()[0].platform == "tpu"
+    if use_pack:
+        @jax.jit
+        def encode_a(p):
+            ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+            off_d, lo_d, hi_d, _ = kpack._densify_shift(ch.staging, ch.lens)
+            return off_d, lo_d, hi_d, jnp.sum(ch.lens).astype(jnp.int32)
+
+        @jax.jit
+        def encode_b(off_d, lo_d, hi_d, total):
+            wp, c0, c1 = kpack._prep_planes(off_d, lo_d, hi_d, total)
+            words = kpack._place_words(
+                wp, c0, c1, total, cap * 6 // 4, 2048, 128, False)
+            return (jax.lax.bitcast_convert_type(
+                words, jnp.uint8).reshape(-1), total)
+
+        def encode_frames():
+            outs = [encode_b(*encode_a(x)) for x in xs]
+            for _, t in outs:
+                int(jax.device_get(t))
+            return outs
+    else:
+        # CPU fallback (smoke runs): the fused XLA two-tier program
+        @jax.jit
+        def encode_one(p):
+            ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
+            return compact.compact_bytes6(ch.staging, ch.lens, cap * 6)
+
+        def encode_frames():
+            outs = [encode_one(x) for x in xs]
+            for _, t in outs:
+                int(jax.device_get(t))
+            return outs
 
     # correctness gate: frame 0's stream must match the oracle byte-for-byte
     t0 = time.perf_counter()
