@@ -83,7 +83,8 @@ def main() -> None:
         def encode_b(off_d, lo_d, hi_d, total):
             wp, c0, c1 = kpack._prep_planes(off_d, lo_d, hi_d, total)
             words = kpack._place_words(
-                wp, c0, c1, total, cap * 6 // 4, 2048, 128, False)
+                wp, c0, c1, total, cap * 6 // 4, 2048, 128, False,
+                window="dyn")
             return (jax.lax.bitcast_convert_type(
                 words, jnp.uint8).reshape(-1), total)
 

@@ -77,10 +77,11 @@ def _pfrows(sub: int) -> int:
     return -(-need // 8) * 8
 
 
-def _make_pack_kernel(tile: int, sub: int):
+def _make_pack_kernel(tile: int, sub: int, dyn: bool = False):
     brows = _pbrows(tile)
     frows = _pfrows(sub)
     nsub = tile // sub
+    ngmax = 2 * brows // 8
 
     def kernel(qb_ref, tot_ref, wp_a, wp_b, c0_a, c0_b, c1_a, c1_b,
                out_ref, swp, sc0, sc1):
@@ -108,36 +109,71 @@ def _make_pack_kernel(tile: int, sub: int):
                 jnp.int32, (1, nsub), 1)
             cnts = jnp.sum((rowfirst <= bases - 3).astype(jnp.int32),
                            axis=0, keepdims=True)     # (1, nsub)
+            if dyn:
+                # rows past the subtile's LAST word contribute nothing:
+                # the dynamic window ends at the <=-count for base+sub-1
+                cnte = jnp.sum((rowfirst <= bases + (sub - 1)).astype(
+                    jnp.int32), axis=0, keepdims=True)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1)
 
             for s in range(nsub):
                 base_s = base_t + s * sub
                 cnt = jnp.sum(jnp.where(lane == s, cnts, 0))
-                # clip-then-multiply: the spelling Mosaic's divisibility
-                # analysis accepts for dynamic sublane starts
-                row0 = jnp.clip((cnt - 2) >> 3,
-                                0, (2 * brows - frows) // 8) * 8
-                fwp = swp[pl.ds(row0, frows), :]
-                fc0 = sc0[pl.ds(row0, frows), :]
-                fc1 = sc1[pl.ds(row0, frows), :]
                 q_col = base_s + jax.lax.broadcasted_iota(
                     jnp.int32, (sub, 1), 0)
 
-                acc = jnp.zeros((sub, _WROW), jnp.int32)
-                for r in range(frows):
-                    wr = fwp[r:r + 1, :]              # (1, 128)
-                    acc = acc + jnp.where(wr == q_col, fc0[r:r + 1, :], 0)
-                    acc = acc + jnp.where(wr == q_col - 1,
-                                          fc1[r:r + 1, :], 0)
+                if not dyn:
+                    # clip-then-multiply: the spelling Mosaic's
+                    # divisibility analysis accepts for dynamic sublane
+                    # starts
+                    row0 = jnp.clip((cnt - 2) >> 3,
+                                    0, (2 * brows - frows) // 8) * 8
+                    fwp = swp[pl.ds(row0, frows), :]
+                    fc0 = sc0[pl.ds(row0, frows), :]
+                    fc1 = sc1[pl.ds(row0, frows), :]
+
+                    acc = jnp.zeros((sub, _WROW), jnp.int32)
+                    for r in range(frows):
+                        wr = fwp[r:r + 1, :]          # (1, 128)
+                        acc = acc + jnp.where(wr == q_col,
+                                              fc0[r:r + 1, :], 0)
+                        acc = acc + jnp.where(wr == q_col - 1,
+                                              fc1[r:r + 1, :], 0)
+                else:
+                    # dynamic trip count over 8-row groups: typical
+                    # content (~2 B/record) spans ~4 rows per subtile vs
+                    # the worst-case-sized static window (frows); the
+                    # slack is paid only by content that needs it
+                    ce = jnp.sum(jnp.where(lane == s, cnte, 0))
+                    g0 = jnp.clip((cnt - 2) >> 3, 0, ngmax - 1)
+                    ng = jnp.clip((ce - g0 * 8 + 7) >> 3, 1, ngmax - g0)
+
+                    def body(g, acc, g0=g0, q_col=q_col):
+                        r8 = jnp.clip(g0 + g, 0, ngmax - 1) * 8
+                        bwp = swp[pl.ds(r8, 8), :]
+                        bc0 = sc0[pl.ds(r8, 8), :]
+                        bc1 = sc1[pl.ds(r8, 8), :]
+                        for r in range(8):
+                            wr = bwp[r:r + 1, :]
+                            acc = acc + jnp.where(wr == q_col,
+                                                  bc0[r:r + 1, :], 0)
+                            acc = acc + jnp.where(wr == q_col - 1,
+                                                  bc1[r:r + 1, :], 0)
+                        return acc
+
+                    acc = jax.lax.fori_loop(
+                        0, ng, body, jnp.zeros((sub, _WROW), jnp.int32))
+
                 out_ref[s, :] = jnp.sum(acc, axis=1)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("w_cap", "tile", "sub",
-                                             "interpret"))
+                                             "interpret", "window"))
 def _place_words(wp, c0, c1, total, w_cap: int,
-                 tile: int, sub: int, interpret: bool):
+                 tile: int, sub: int, interpret: bool,
+                 window: str = "static"):
     """Scatter word contributions to their word positions. wp: (R,) i32
     nondecreasing (pad with _INF); c0/c1: (R,) i32 contributions to
     words wp and wp+1 (the rare third word is pre-folded into the NEXT
@@ -186,7 +222,7 @@ def _place_words(wp, c0, c1, total, w_cap: int,
                         for _ in range(3)],
     )
     return pl.pallas_call(
-        _make_pack_kernel(tile, sub),
+        _make_pack_kernel(tile, sub, dyn=(window == "dyn")),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
@@ -353,7 +389,7 @@ def _prep_planes(off_d, lo_d, hi_d, total):
 def compact_bytes6_pack(staging6, lens, capacity: int, *,
                         tile: int = 2048, sub: int = 128,
                         interpret: bool = False, densify: str = "shift",
-                        barrier: bool = True):
+                        barrier: bool = True, window: str = "static"):
     """Drop-in replacement for ops.compact.compact_bytes6 via the pack
     kernel. staging6: (6, N) uint8 byte planes; lens: (N,) int32 in
     [0, 6]; capacity: static output byte size (multiple of 4). Returns
@@ -372,6 +408,7 @@ def compact_bytes6_pack(staging6, lens, capacity: int, *,
         wp, c0, c1, total = jax.lax.optimization_barrier(
             (wp, c0, c1, total))
     words = _place_words(
-        wp, c0, c1, total, capacity // 4, tile, sub, interpret)
+        wp, c0, c1, total, capacity // 4, tile, sub, interpret,
+        window=window)
     out = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
     return out, total

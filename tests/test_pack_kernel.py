@@ -178,3 +178,28 @@ def test_full_encode_differential(name, maker):
     assert int(tot) == int(ref_tot)
     np.testing.assert_array_equal(
         np.asarray(buf)[: int(tot)], np.asarray(ref_buf)[: int(tot)])
+
+
+def test_dyn_window_matches_static():
+    """The dynamic-trip-count window (window="dyn") must place byte-
+    identically to the static window on every adversarial geometry:
+    random mixed lens, all-6-byte (max row span), all-1-byte (min span),
+    long zero gaps, and the third-word spill fold."""
+    rng = np.random.default_rng(12)
+    cases = []
+    staging, lens = _random_staging(1 << 14, rng)
+    cases.append((staging, lens))
+    n = 4096
+    staging = rng.integers(0, 256, size=(6, n), dtype=np.uint8)
+    cases.append((staging, np.full(n, 6, np.int32)))
+    staging1, _ = _random_staging(n, rng, p_zero=0.0)
+    staging1 = np.where(np.arange(6)[:, None] < 1, staging1, 0
+                        ).astype(np.uint8)
+    cases.append((staging1, np.ones(n, np.int32)))
+    staging2 = rng.integers(0, 256, size=(6, 2048), dtype=np.uint8)
+    lens2 = np.full(2048, 6, np.int32)
+    lens2[0] = 3
+    staging2[3:, 0] = 0
+    cases.append((staging2, lens2))
+    for staging, lens in cases:
+        _check(staging, lens, staging.shape[1] * 6, window="dyn")

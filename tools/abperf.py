@@ -113,7 +113,8 @@ def cmd_encode(batch_frames: int = 8):
                             ("stages", 0, "stages"),
                             ("pack", 2048, "pack"),
                             ("split", 2048, "split"),
-                            ("splitd", 2048, "splitd")):
+                            ("splitd", 2048, "splitd"),
+                            ("splitdyn", 2048, "splitdyn")):
         def enc_body(p, s=seg, m=mode):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
@@ -142,7 +143,8 @@ def cmd_encode(batch_frames: int = 8):
                     st, ln, cap * 6, tile=s, interpret=_MINI)
             return compact.compact_bytes6(st, ln, cap * 6, seg=s)
 
-        if mode in ("split", "splitd"):
+        if mode in ("split", "splitd", "splitdyn"):
+            win = "dyn" if mode == "splitdyn" else "static"
             if mode == "split":
                 prog_a = jax.jit(lambda p: (
                     lambda ch: (ch.staging, ch.lens))(
@@ -156,11 +158,11 @@ def cmd_encode(batch_frames: int = 8):
                         ch.staging, ch.lens)
                     return off_d, lo_d, hi_d, jnp.sum(ch.lens).astype(jnp.int32)
 
-                def b_body(off_d, lo_d, hi_d, total, s=seg):
+                def b_body(off_d, lo_d, hi_d, total, s=seg, w=win):
                     wp, c0, c1 = kpack._prep_planes(off_d, lo_d, hi_d, total)
                     words = kpack._place_words(
                         wp, c0, c1, total, cap * 6 // 4, s, 128,
-                        interpret=_MINI)
+                        interpret=_MINI, window=w)
                     return (jax.lax.bitcast_convert_type(
                         words, jnp.uint8).reshape(-1), total)
 
