@@ -68,28 +68,12 @@ def main() -> None:
     # BATCH-deep so per-program floors (~25-40 ms here) overlap in the
     # async queue. Measured (r2 abperf, same-process): splitd 106.5 vs
     # fused pipe 103.6 / fused pack 104.2 Mpx/s; vmap batching is dead
-    # (vstages 160.4, vpack OOMs at compile). PERF_NOTES.md.
-    from qoi_tpu.kernels import pack as kpack
-
+    # (vstages 160.4, vpack OOMs at compile). PERF_NOTES.md. The splitd
+    # structure is the package API: pipeline.encode_device_pack.
     use_pack = jax.devices()[0].platform == "tpu"
     if use_pack:
-        @jax.jit
-        def encode_a(p):
-            ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
-            off_d, lo_d, hi_d, _ = kpack._densify_shift(ch.staging, ch.lens)
-            return off_d, lo_d, hi_d, jnp.sum(ch.lens).astype(jnp.int32)
-
-        @jax.jit
-        def encode_b(off_d, lo_d, hi_d, total):
-            wp, c0, c1 = kpack._prep_planes(off_d, lo_d, hi_d, total)
-            words = kpack._place_words(
-                wp, c0, c1, total, cap * 6 // 4, 2048, 128, False,
-                window="dyn")
-            return (jax.lax.bitcast_convert_type(
-                words, jnp.uint8).reshape(-1), total)
-
         def encode_frames():
-            outs = [encode_b(*encode_a(x)) for x in xs]
+            outs = [pipeline.encode_device_pack(x, jnp.int32(n)) for x in xs]
             for _, t in outs:
                 int(jax.device_get(t))
             return outs

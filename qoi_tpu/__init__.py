@@ -21,36 +21,40 @@ __version__ = "0.1.0"
 STREAM_THRESHOLD_PX = 1 << 24
 
 
-def encode(pixels, desc=None, engine: str = "tpu") -> bytes:
+def encode(pixels, desc=None, engine="tpu") -> bytes:
     """Encode pixels ((h, w, 3|4) uint8, or flat with an explicit desc) to a
     QOI stream, byte-identical to the reference encoder (qoi.h:356). Huge
     images (reference cap: 400 Mpx, qoi.h:329-332) automatically use the
-    tile-streaming path (models/streamed.py)."""
+    tile-streaming path (models/streamed.py). `engine` is a name or a full
+    EngineConfig (SURVEY §5.6)."""
     from . import io as _io
 
+    c = _io._as_config(engine)
     if desc is None:
         desc = _io.image_desc(pixels)
-    if engine == "tpu" and desc.num_pixels > STREAM_THRESHOLD_PX:
+    if c.engine == "tpu" and desc.num_pixels > STREAM_THRESHOLD_PX:
         from .models import streamed
 
-        return streamed.encode(pixels, desc)
-    enc, _ = _io._engine(engine)
+        return streamed.encode(pixels, desc, config=c)
+    enc, _ = _io._engine(c)
     return enc(pixels, desc)
 
 
-def decode(data: bytes, channels: int = 0, engine: str = "tpu"):
+def decode(data: bytes, channels: int = 0, engine="tpu"):
     """Decode a QOI stream to ((h, w, ch) uint8, StreamDesc), pixel-identical
     to the reference decoder (qoi.h:488). Huge images (reference cap:
     400 Mpx, qoi.h:329-332) automatically use the tile-streaming decoder
-    (models/streamed.py) so device memory stays O(tile)."""
+    (models/streamed.py) so device memory stays O(tile). `engine` is a name
+    or a full EngineConfig."""
     from . import io as _io
 
-    if engine == "tpu":
+    c = _io._as_config(engine)
+    if c.engine == "tpu":
         from .format import unpack_header
 
         if unpack_header(data).num_pixels > STREAM_THRESHOLD_PX:
             from .models import streamed
 
-            return streamed.decode(data, channels)
-    _, dec = _io._engine(engine)
+            return streamed.decode(data, channels, config=c)
+    _, dec = _io._engine(c)
     return dec(data, channels)

@@ -98,7 +98,7 @@ def bench_image(name: str, pixels: np.ndarray, opts,
     raw = n_px * ch
 
     from . import oracle
-    from .models import decode_v2 as decode_pipeline, pipeline
+    from .models import decode_v3 as decode_pipeline, pipeline
 
     stream = oracle.encode(pixels, desc)
 

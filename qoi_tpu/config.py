@@ -25,16 +25,20 @@ class EngineConfig:
     # shape-bucketing floor (compiled-program count is O(log max-size))
     bucket_floor: int = 256
 
-    # ops/table.py within-block brute-force width (<= 127)
+    # ops/table.py within-block brute-force width (<= 127); threaded
+    # through models/pipeline.encode -> encode_stage_chunks -> table_hit
     table_block: int = 64
 
-    # models/streamed.py tile size in pixels for huge images
+    # models/streamed.py tile size (pixels for encode, bytes for decode);
+    # the facade qoi_tpu.encode/decode pass it to the streamed drivers
     stream_tile_px: int = 1 << 22
 
     # decode fixpoint iteration cap before sequential fallback
+    # (models/decode_v3.decode, models/streamed.decode)
     decode_max_iters: int = 12
 
-    # mesh shape (data, seq); None = single device
+    # (data, seq) mesh shape; None = single device. When set, io.read /
+    # io.write run the sequence-parallel tiled codec over that mesh
     mesh: Optional[Tuple[int, int]] = None
 
     def validate(self) -> None:

@@ -29,6 +29,16 @@ def _engine(engine: Union[str, "cfg.EngineConfig"]):
     EngineConfig (SURVEY §5.6: one dataclass drives the tunables)."""
     c = _as_config(engine)
     if c.engine == "tpu":
+        if c.mesh is not None:
+            # sequence-parallel single-stream codec over a (data, seq)
+            # device mesh (SURVEY §5.7); io-level calls shard the pixel /
+            # byte stream over the seq axis
+            from .parallel import sharding, tiled, tiled_decode
+
+            mesh = sharding.make_mesh(data=c.mesh[0], seq=c.mesh[1])
+            return (lambda px, desc: tiled.encode_tiled(px, desc, mesh),
+                    lambda data, ch=0: tiled_decode.decode_tiled(
+                        data, mesh, ch))
         from .models import decode_v3, pipeline
 
         return (lambda px, desc: pipeline.encode(px, desc, config=c),

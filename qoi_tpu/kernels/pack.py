@@ -367,7 +367,11 @@ def _densify_shift(staging6, lens, seg: int = 0):
 def _prep_planes(off_d, lo_d, hi_d, total):
     """Word position + contribution planes from dense records. Tail
     records (len 0, contributions 0) land at wp = total>>2 — harmless
-    and nondecreasing. The rare third-word spill (only s=24, len=6
+    and nondecreasing. (For subtiles near the stream end the dyn
+    window's cnte counts every tail row, so its fori_loop accumulates
+    up to ngmax groups of zeros there — wasted but bounded work on the
+    final tile only; measured negligible vs capping ce by the real
+    record count.) The rare third-word spill (only s=24, len=6
     records have one) folds into the NEXT record's c0: that record
     starts at off+6, i.e. its word is exactly wp+2, and the spilled
     byte is that word's lane 0, which the next record (starting at
@@ -384,6 +388,34 @@ def _prep_planes(off_d, lo_d, hi_d, total):
     c0 = jnp.concatenate([c0[:1], c0[1:] | c2[:-1], c2[-1:]])
     c1 = jnp.concatenate([c1, jnp.zeros((1,), jnp.int32)])
     return wp, c0, c1
+
+
+@jax.jit
+def densify_records(staging6, lens):
+    """Program-A tail of the splitd two-program encode structure
+    (PERF_NOTES.md "program-structure endgame"): emitting pixels ->
+    dense records, pure fused elementwise work that shares a program
+    with the staging stages. staging6: (6, N) uint8; lens: (N,) int32.
+    Returns (off_d, lo_d, hi_d, total) for `place_records`."""
+    off_d, lo_d, hi_d, _ = _densify_shift(staging6, lens)
+    return off_d, lo_d, hi_d, jnp.sum(lens).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "capacity", "tile", "sub", "interpret", "window"))
+def place_records(off_d, lo_d, hi_d, total, capacity: int, *,
+                  tile: int = 2048, sub: int = 128,
+                  interpret: bool = False, window: str = "dyn"):
+    """Program B of the splitd encode structure: word/contribution plane
+    prep + the placement kernel, from `densify_records`' materialized
+    outputs. Returns (buffer (capacity,) uint8 valid in [0, total),
+    total int32). The defaults are the measured-best bench geometry
+    (dyn window: +2% over static, PERF_NOTES.md)."""
+    assert capacity % 4 == 0
+    wp, c0, c1 = _prep_planes(off_d, lo_d, hi_d, total)
+    words = _place_words(wp, c0, c1, total, capacity // 4, tile, sub,
+                         interpret, window=window)
+    return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1), total
 
 
 def compact_bytes6_pack(staging6, lens, capacity: int, *,

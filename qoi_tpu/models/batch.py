@@ -71,6 +71,25 @@ def encode_batch(
             flat = pipeline.force_rgba(images[i], descs[i])
             px[row, : flat.shape[0]] = flat
             nv[row] = flat.shape[0]
+        if jax.devices()[0].platform == "tpu":
+            # per-image pipelined dispatch of the splitd pack structure —
+            # measured faster than any vmapped batch program on v5e
+            # (PERF_NOTES.md "program-structure endgame"); the async
+            # queue overlaps the per-program floors across images
+            devouts = [
+                pipeline.encode_device_pack(
+                    jnp.asarray(px[row]), jnp.int32(nv[row]))
+                for row in range(len(idxs))
+            ]
+            for row, i in enumerate(idxs):
+                buf, tot = devouts[row]
+                t = int(jax.device_get(tot))
+                out[i] = (
+                    fmt.pack_header(descs[i])
+                    + np.asarray(jax.device_get(buf))[:t].tobytes()
+                    + fmt.TRAILER
+                )
+            continue
         bufs, totals = _encode_batch_device(
             jnp.asarray(px), jnp.asarray(nv), bucket * 6)
         bufs = np.asarray(jax.device_get(bufs))

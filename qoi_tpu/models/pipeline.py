@@ -64,6 +64,7 @@ def encode_stage_chunks(
     table_in=None,
     contains_last=None,
     table_local=None,
+    table_block: int = table._BLOCK,
 ) -> EncodedChunks:
     """Stages 1-4: per-pixel chunk bytes + lengths, fully data-parallel.
 
@@ -109,10 +110,10 @@ def encode_stage_chunks(
     packed = table.pack_rgba(px4)
     if table_local is None:
         hit0, (tbl_out, wr_out) = table.table_hit(
-            keys, packed, write=~eq, incoming=table_in)
+            keys, packed, write=~eq, incoming=table_in, block=table_block)
     else:
         hit0, (tbl_out, wr_out) = table.table_hit_carry(
-            table_local, keys, packed, incoming=table_in)
+            table_local, keys, packed, incoming=table_in, block=table_block)
     hit = ~eq & hit0
 
     # -- stage 4: op classification, byte-plane-major (every array here is
@@ -208,26 +209,61 @@ def _prep_eq(px4, n_valid):
     return jnp.all(px4 == prev, axis=-1) | (io >= n_valid)
 
 
-@jax.jit
-def _encode_phase_a(px4: jnp.ndarray, n_valid: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("table_block",))
+def _encode_phase_a(px4: jnp.ndarray, n_valid: jnp.ndarray,
+                    table_block: int = table._BLOCK):
     with profiling.annotate("qoi.encode.table_local"):
         eq = _prep_eq(px4, n_valid)
         return table.table_hit_local(
-            table.hash64(px4), table.pack_rgba(px4), write=~eq)
+            table.hash64(px4), table.pack_rgba(px4), write=~eq,
+            block=table_block)
 
 
-@jax.jit
-def _encode_phase_b(px4: jnp.ndarray, n_valid: jnp.ndarray, local):
+@functools.partial(jax.jit, static_argnames=("table_block",))
+def _encode_phase_b(px4: jnp.ndarray, n_valid: jnp.ndarray, local,
+                    table_block: int = table._BLOCK):
     with profiling.annotate("qoi.encode.stage_chunks"):
-        chunks = encode_stage_chunks(px4, n_valid, table_local=local)
+        chunks = encode_stage_chunks(px4, n_valid, table_local=local,
+                                     table_block=table_block)
     capacity = px4.shape[0] * 6
     with profiling.annotate("qoi.encode.compact"):
         return compact.compact_bytes6(chunks.staging, chunks.lens, capacity)
 
 
-def encode_device_split(px4, n_valid):
+def encode_device_split(px4, n_valid, table_block: int = table._BLOCK):
     """Device-resident encode as two chained programs (buf, total)."""
-    return _encode_phase_b(px4, n_valid, _encode_phase_a(px4, n_valid))
+    return _encode_phase_b(px4, n_valid,
+                           _encode_phase_a(px4, n_valid, table_block),
+                           table_block)
+
+
+# -- splitd: the measured-fastest single-chip structure (PERF_NOTES.md
+# "program-structure endgame"): program A = stages + record densify,
+# program B = plane prep + Pallas placement kernel. Dispatching several
+# frames' A/B pairs back-to-back overlaps the ~25-40 ms per-program
+# floors in the async queue (bench.py does exactly that).
+
+@jax.jit
+def _encode_pack_a(px4: jnp.ndarray, n_valid: jnp.ndarray):
+    from ..kernels import pack as kpack
+
+    with profiling.annotate("qoi.encode.stage_chunks"):
+        chunks = encode_stage_chunks(px4, n_valid)
+    with profiling.annotate("qoi.encode.densify"):
+        return kpack.densify_records(chunks.staging, chunks.lens)
+
+
+def encode_device_pack(px4, n_valid, *, window: str = "dyn",
+                       interpret: bool = False):
+    """Device-resident encode as the splitd two-program pack structure
+    (buf, total) — the production bench path on real TPU. `interpret`
+    runs the placement kernel in Pallas interpret mode (CPU tests)."""
+    from ..kernels import pack as kpack
+
+    off_d, lo_d, hi_d, total = _encode_pack_a(px4, n_valid)
+    return kpack.place_records(off_d, lo_d, hi_d, total,
+                               px4.shape[0] * 6, window=window,
+                               interpret=interpret)
 
 
 def bucket_size(n: int, floor: int = 256) -> int:
@@ -254,13 +290,14 @@ def force_rgba(pixels: np.ndarray, desc: fmt.StreamDesc) -> np.ndarray:
 def encode(pixels: np.ndarray, desc: fmt.StreamDesc, config=None) -> bytes:
     """Encode one image through the parallel pipeline; byte-identical to the
     reference encoder (qoi.h:356). `config` (an EngineConfig) tunes the
-    shape-bucketing floor."""
+    shape-bucketing floor and the table-replay block width."""
     desc.validate()
     px4 = force_rgba(pixels, desc)
     n = px4.shape[0]
     floor = config.bucket_floor if config else 256
+    tb = config.table_block if config else table._BLOCK
     padded = np.zeros((bucket_size(n, floor), 4), np.uint8)
     padded[:n] = px4
-    buf, total = encode_device_split(jnp.asarray(padded), jnp.int32(n))
+    buf, total = encode_device_split(jnp.asarray(padded), jnp.int32(n), tb)
     body = np.asarray(jax.device_get(buf))[: int(jax.device_get(total))]
     return fmt.pack_header(desc) + body.tobytes() + fmt.TRAILER

@@ -37,9 +37,12 @@ def _tile_step(px4, n_valid, contains_last, carry: pipeline.EncoderCarry):
 
 
 def encode(pixels: np.ndarray, desc: fmt.StreamDesc,
-           tile_px: int = 1 << 22) -> bytes:
+           tile_px: int = 0, config=None) -> bytes:
     """Encode one image of any size the format allows; byte-identical to the
-    reference encoder (qoi.h:356). Device memory stays O(tile_px)."""
+    reference encoder (qoi.h:356). Device memory stays O(tile_px); the tile
+    size comes from `tile_px` if nonzero, else `config.stream_tile_px`."""
+    if not tile_px:
+        tile_px = config.stream_tile_px if config else 1 << 22
     desc.validate()
     px4 = pipeline.force_rgba(pixels, desc)
     n = px4.shape[0]
@@ -122,14 +125,21 @@ def _pack65(px: np.ndarray, table: np.ndarray) -> np.ndarray:
         np.uint32).reshape(65)
 
 
-def decode(data: bytes, channels: int = 0, tile_bytes: int = 1 << 22,
-           max_rounds: int = 12) -> Tuple[np.ndarray, fmt.StreamDesc]:
+def decode(data: bytes, channels: int = 0, tile_bytes: int = 0,
+           max_rounds: int = 0, config=None
+           ) -> Tuple[np.ndarray, fmt.StreamDesc]:
     """Decode a stream of any size the format allows; pixel-identical to
     the reference decoder (qoi.h:488), including truncation tolerance and
-    channel forcing. Device memory stays O(tile_bytes + tile pixels)."""
+    channel forcing. Device memory stays O(tile_bytes + tile pixels); tile
+    size and fixpoint cap come from `config` (stream_tile_px /
+    decode_max_iters) unless given explicitly."""
     from . import decode_pipeline as v1
     from . import scan_codec
 
+    if not tile_bytes:
+        tile_bytes = config.stream_tile_px if config else 1 << 22
+    if not max_rounds:
+        max_rounds = config.decode_max_iters if config else 12
     if channels not in (0, 3, 4):
         raise ValueError(f"channels must be 0, 3 or 4, got {channels}")
     desc = fmt.unpack_header(data)

@@ -22,6 +22,50 @@ def test_write_read_qoi(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
+def test_config_table_block_threads_through():
+    """EngineConfig.table_block drives ops/table.py's block width: a
+    non-default width must still be byte-identical to the oracle."""
+    from qoi_tpu.config import EngineConfig
+    from qoi_tpu.models import pipeline
+
+    img = testimages.mixed(56, 40, 4, seed=5)
+    desc = qio.image_desc(img)
+    cfg = EngineConfig(table_block=32)
+    assert pipeline.encode(img, desc, config=cfg) == oracle.encode(img, desc)
+
+
+def test_config_stream_tile_px_threads_through():
+    """EngineConfig.stream_tile_px drives the streamed drivers' tile
+    size: a tiny tile forces multi-tile chaining on a small image and
+    must stay byte-/pixel-exact."""
+    from qoi_tpu.config import EngineConfig
+    from qoi_tpu.models import streamed
+
+    img = testimages.mixed(64, 48, 4, seed=6)
+    desc = qio.image_desc(img)
+    cfg = EngineConfig(stream_tile_px=1024)
+    stream = streamed.encode(img, desc, config=cfg)
+    assert stream == oracle.encode(img, desc)
+    back, _ = streamed.decode(stream, config=cfg)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_config_mesh_drives_tiled_io(tmp_path):
+    """EngineConfig.mesh routes io.write/io.read through the sequence-
+    parallel tiled codec over a real (data, seq) device mesh."""
+    from qoi_tpu.config import EngineConfig
+
+    img = testimages.mixed(48, 32, 4, seed=7)
+    desc = qio.image_desc(img)
+    cfg = EngineConfig(mesh=(1, 4))
+    p = tmp_path / "m.qoi"
+    n = qio.write(p, img, desc, engine=cfg)
+    assert n == len(oracle.encode(img, desc))
+    back, d2 = qio.read(p, engine=cfg)
+    np.testing.assert_array_equal(back, img)
+    assert (d2.width, d2.height) == (48, 32)
+
+
 def test_png_roundtrip(tmp_path):
     img = testimages.gradient(33, 21, 3)
     p = tmp_path / "x.png"

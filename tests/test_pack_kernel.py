@@ -180,11 +180,11 @@ def test_full_encode_differential(name, maker):
         np.asarray(buf)[: int(tot)], np.asarray(ref_buf)[: int(tot)])
 
 
-def test_dyn_window_matches_static():
-    """The dynamic-trip-count window (window="dyn") must place byte-
-    identically to the static window on every adversarial geometry:
-    random mixed lens, all-6-byte (max row span), all-1-byte (min span),
-    long zero gaps, and the third-word spill fold."""
+def _dyn_cases():
+    """Adversarial geometries for the dynamic-trip-count window: random
+    mixed lens, all-6-byte (max row span), all-1-byte (min span), long
+    zero gaps (sparse emitters produce the largest cnt/cnte anchor jumps),
+    and the third-word spill fold."""
     rng = np.random.default_rng(12)
     cases = []
     staging, lens = _random_staging(1 << 14, rng)
@@ -201,5 +201,69 @@ def test_dyn_window_matches_static():
     lens2[0] = 3
     staging2[3:, 0] = 0
     cases.append((staging2, lens2))
-    for staging, lens in cases:
+    # long zero gaps: emitters thousands of zero-length pixels apart —
+    # the dyn loop's group count must survive near-empty subtiles
+    n = 1 << 14
+    staging3, lens3 = _random_staging(n, rng, p_zero=0.0)
+    keep = np.zeros(n, bool)
+    keep[::3000] = True
+    keep[n - 1] = True
+    lens3 = np.where(keep, lens3, 0).astype(np.int32)
+    staging3 = np.where(
+        np.arange(6)[:, None] < lens3[None, :], staging3, 0).astype(np.uint8)
+    cases.append((staging3, lens3))
+    return cases
+
+
+def test_dyn_window_matches_static():
+    """window="dyn" must place byte-identically to the static window on
+    every adversarial geometry (see _dyn_cases)."""
+    for staging, lens in _dyn_cases():
         _check(staging, lens, staging.shape[1] * 6, window="dyn")
+
+
+def test_dyn_window_geometries():
+    """The dyn window at non-default tile/sub geometries (the group-count
+    clip ngmax and anchor shifts depend on both)."""
+    for staging, lens in _dyn_cases()[:2] + _dyn_cases()[-1:]:
+        for tile, sub in ((1024, 128), (4096, 256)):
+            _check(staging, lens, staging.shape[1] * 6, window="dyn",
+                   tile=tile, sub=sub)
+
+
+def test_public_split_api_matches_fused():
+    """densify_records + place_records (the splitd two-program public
+    API used by bench.py / models/batch.py) == compact_bytes6."""
+    import jax
+
+    rng = np.random.default_rng(13)
+    staging, lens = _random_staging(1 << 14, rng)
+    cap = (1 << 14) * 6
+    rbuf, rtot = _ref(staging, lens, cap)
+    off_d, lo_d, hi_d, total = pack.densify_records(
+        jnp.asarray(staging), jnp.asarray(lens))
+    buf, tot = pack.place_records(off_d, lo_d, hi_d, total, cap,
+                                  interpret=True)
+    assert int(tot) == rtot
+    np.testing.assert_array_equal(np.asarray(buf)[:rtot], rbuf)
+
+
+def test_encode_device_pack_oracle():
+    """pipeline.encode_device_pack (the production splitd encode) is
+    byte-identical to the C++ oracle."""
+    w, h = 160, 96
+    desc = fmt.StreamDesc(w, h, 4)
+    img = testimages.mixed(w, h, 4, seed=21)
+    px4 = pipeline.force_rgba(img, desc)
+    n = px4.shape[0]
+    cap = pipeline.bucket_size(n)
+    padded = np.zeros((cap, 4), np.uint8)
+    padded[:n] = px4
+    buf, tot = pipeline.encode_device_pack(
+        jnp.asarray(padded), jnp.int32(n), interpret=True)
+    got = (fmt.pack_header(desc)
+           + np.asarray(buf)[: int(tot)].tobytes() + fmt.TRAILER)
+    if oracle.available():
+        assert got == oracle.encode(img, desc)
+    else:  # pragma: no cover - oracle always available in CI
+        assert got == qoi_tpu.encode(img, desc, engine="scan")

@@ -87,7 +87,8 @@ def cmd_encode(batch_frames: int = 8):
              + np.asarray(jax.device_get(buf))[:tot].tobytes() + fmt.TRAILER)
         assert s == want0, "oracle mismatch"
 
-    from qoi_tpu.kernels import copy as kcopy, pack as kpack
+    import copy_kernel as kcopy  # tools/-local: measured dead end
+    from qoi_tpu.kernels import pack as kpack
 
     # pipe = the production fused program, per-frame dispatch (hardware
     # round-2 results: barrier 52-61 Mpx/s, map 97.8 vs pipe 104.3 — the

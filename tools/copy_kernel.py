@@ -1,16 +1,17 @@
-"""Pallas HBM materialization barrier (identity copy).
+"""Pallas HBM materialization barrier (identity copy) — NEGATIVE RESULT.
 
-`lax.optimization_barrier` does not stop XLA from fusing/rematerializing
-a producer into its consumers; a Pallas custom call does — its operand
-must be fully materialized in HBM. PERF_NOTES.md measured the encoder's
-compaction at ~61 ms when fused in the same program as the staging
-stages but ~5 ms from a materialized staging buffer; this kernel lets
-one program get the materialized behavior without paying a second
-~30-40 ms program dispatch (program floors are device-serial on this
-platform).
+Measured a dead end on hardware and kept only for tools/abperf.py's
+`barrier` A/B variants (it is NOT a production kernel — hence its home
+under tools/): routing the encoder's staging through this barrier costs
++455 ms per 8 frames (PERF_NOTES.md round-2 "HBM-copy barrier is a dead
+end") — the round-2 "compact is ~5 ms from materialized staging" reading
+that motivated it was a u8->i32 relayout artifact.
 
-The copy itself is pure HBM bandwidth: ~50 MB of staging at ~800 GB/s
-is ~0.13 ms.
+Original idea: `lax.optimization_barrier` does not stop XLA from
+fusing/rematerializing a producer into its consumers; a Pallas custom
+call does — its operand must be fully materialized in HBM. The copy
+itself would be pure HBM bandwidth (~50 MB at ~800 GB/s = ~0.13 ms),
+but the relayouts around it are brutally slow.
 """
 from __future__ import annotations
 
