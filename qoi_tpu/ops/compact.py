@@ -103,6 +103,153 @@ def compact_bytes6(
     return out, total
 
 
+def compact_bytes6_wordsum(
+    staging6: jnp.ndarray, lens: jnp.ndarray, capacity: int,
+    seg: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Word-sum compaction: the gather/sort/kernel-free placement
+    primitive (round-3 design; replaces both the two-tier sort and the
+    Pallas place kernel on the encode hot path).
+
+    Key identities (every output byte is owned by exactly one record):
+
+      * A record at byte offset o with value bytes packed (lo, hi)
+        contributes c0/c1/c2 to output words w0 = o>>2, w0+1, w0+2 (the
+        same word decomposition as kernels/pack.py) — and each output
+        word's value is exactly the SUM of contributions targeting it.
+      * Let C[w] = the running sum of ALL contribution values to words
+        <= w. Then out_word[w] = C[w] - C[w-1] (sums of disjoint-byte
+        values never carry within a word; the cross-word cumsum wraps
+        mod 2^32 and the difference recovers each word exactly).
+      * Each word w has exactly ONE "boundary event" defining C[w]: the
+        record owning the word's last byte (4w+3, or T-1 for a final
+        partial word). A record spans <= 6 bytes, so it owns the last
+        byte of at most two words — w0 (event value Vexc + c0) and
+        w0+1 (Vexc + c0 + c1), where Vexc is the exclusive cumsum of
+        record contribution sums — so TWO event slots per pixel
+        suffice. A final PARTIAL word has no record owning its last
+        byte; its C value is simply the grand contribution total,
+        patched in directly after assembly.
+      * Event destinations are strictly increasing in slot order and
+        cover every word exactly once, so sliding events to their word
+        positions is an injective nondecreasing stream compaction — the
+        log-distance shift-slide of `kernels/pack._densify_shift`
+        (tier 1) plus one windowed row scatter-add (tier 2). The
+        2-slots-per-pixel list keeps every slide distance >= 0 even
+        when words locally outnumber pixels (avg > 4 B/record).
+
+    Everything is fused elementwise work + one N-length cumsum + the
+    two-plane slide over 2N slots: no sort, no gather, no Pallas.
+    staging6: (6, N) uint8; lens: (N,) int32 in [0, 6]; capacity:
+    static output byte size, multiple of 4. Returns (buffer (capacity,)
+    uint8 valid in [0, total), total int32)."""
+    from ..kernels.pack import _record_words
+
+    assert capacity % 4 == 0
+    k, n = staging6.shape
+    l = lens.astype(jnp.int32)
+    off = exclusive_cumsum(l)
+    total = (off[-1] + l[-1]).astype(jnp.int32) if n else jnp.int32(0)
+
+    lo, hl = _record_words(staging6, lens)
+    lo_u = lo.view(jnp.uint32)
+    hi_u = (hl & 0xFFFF).view(jnp.uint32)
+    s = ((off & 3) << 3).astype(jnp.uint32)
+    # c1/c2 vanish automatically for records that do not cross a word
+    # (lo has < 32-s live bits, hi is 0 below len 5); l=0 records have
+    # zero-masked lo/hi, so the sums need no validity mask at all
+    c0 = lo_u << s
+    c1 = ((lo_u >> 1) >> (31 - s)) | (hi_u << s)
+    c2 = (hi_u >> 1) >> (31 - s)
+    vsum = c0 + c1 + c2
+    vexc = exclusive_cumsum(vsum.view(jnp.int32)).view(jnp.uint32)
+
+    endb = off + l
+    w0 = off >> 2
+    emits = l > 0
+    ev0 = emits & (endb >= (w0 << 2) + 4)      # owns byte 4*w0+3
+    ev1 = emits & (endb >= (w0 << 2) + 8)      # owns byte 4*(w0+1)+3
+    val0 = vexc + c0
+    val1 = vexc + c0 + c1
+    dest0 = w0
+    dest1 = w0 + 1
+    alive1 = ev1
+
+    seg = seg or _COMPACT_SEG
+    if n % seg or n < seg:
+        seg = n
+    nseg = n // seg
+    sw = 2 * seg  # slots per segment row (2 per pixel, interleaved)
+
+    def rows2(a, b):  # (N,) x2 -> (nseg, 2*seg) in slot order p*2+k
+        return jnp.stack(
+            [a.reshape(nseg, seg), b.reshape(nseg, seg)],
+            axis=2).reshape(nseg, sw)
+
+    val = rows2(jnp.where(ev0, val0, 0), jnp.where(alive1, val1, 0))
+    alive = rows2(ev0.astype(jnp.int32), alive1.astype(jnp.int32))
+    dest = rows2(dest0, dest1)
+
+    # word index of each segment's first event = events before it
+    cnt = jnp.sum(alive, axis=1)
+    wbase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nseg, sw), 1)
+    d = jnp.where(alive != 0, iota - (dest - wbase[:, None]), 0)
+    aux = alive | (d << 1)
+
+    # tier 1: slide events to their within-segment word positions by the
+    # bits of d, LSB-first — injective for the same reason as
+    # kernels/pack._densify_shift (destinations strictly increasing);
+    # alive flag in aux bit 0, d in bits 1..
+    def shift_rows(x, j):
+        return jnp.concatenate(
+            [x[:, j:], jnp.zeros((nseg, j), x.dtype)], axis=1)
+
+    bit = 1
+    while bit < sw:
+        val_s = shift_rows(val, bit)
+        aux_s = shift_rows(aux, bit)
+        dbit = jnp.int32(bit << 1)
+        mv_in = ((aux_s & dbit) != 0) & ((aux_s & 1) != 0)
+        mv_out = ((aux & dbit) != 0) & ((aux & 1) != 0)
+        val = jnp.where(mv_in, val_s, val)
+        aux = jnp.where(mv_in, aux_s, jnp.where(mv_out, 0, aux))
+        bit <<= 1
+
+    # tier 2: dense per-segment rows -> global word offsets
+    real = jax.lax.broadcasted_iota(jnp.int32, (nseg, sw), 1) < cnt[:, None]
+    val = jnp.where(real, val, 0)
+    w_cap = capacity // 4
+    if nseg == 1:
+        cends = val[0]
+    else:
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,))
+        cends = jax.lax.scatter_add(
+            jnp.zeros((2 * n + sw,), jnp.uint32), wbase[:, None], val, dn,
+            indices_are_sorted=True, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.CLIP)
+    if w_cap <= cends.shape[0]:
+        cends = cends[:w_cap]
+    else:
+        cends = jnp.concatenate(
+            [cends, jnp.zeros((w_cap - cends.shape[0],), jnp.uint32)])
+
+    # a final partial word (total % 4 != 0) has no boundary event; its
+    # cumulative value is the grand total of all contributions
+    w_last = (total - 1) >> 2
+    v_all = vexc[-1] + vsum[-1] if n else jnp.uint32(0)
+    cends = jnp.where(
+        jnp.arange(w_cap, dtype=jnp.int32) == w_last, v_all, cends)
+
+    words = cends - jnp.concatenate([jnp.zeros((1,), jnp.uint32), cends[:-1]])
+    out = jax.lax.bitcast_convert_type(
+        words.view(jnp.int32), jnp.uint8).reshape(-1)
+    return out, total
+
+
 def compact_bytes_scatter(
     staging: jnp.ndarray, lens: jnp.ndarray, capacity: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

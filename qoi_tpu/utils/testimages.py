@@ -132,9 +132,24 @@ def photo(w: int, h: int, ch: int, seed: int = 3) -> np.ndarray:
     canonical photo/texture class (qoi_benchmark_suite images carry a
     constant alpha plane). Streams of this class have exact written-slot
     estimates, so the parallel decoder converges in one fixpoint round;
-    `mixed`'s varying alpha + palette INDEX chains are the adversarial
-    case that exercises the sequential fallback ladder instead."""
+    `mixed`'s varying alpha needs one correction round (measured round 3:
+    2 rounds at 4K); `palette_alpha` is the class that truly cannot
+    converge and exercises the sequential fallback ladder."""
     img = mixed(w, h, ch, seed=seed).copy()
     if ch == 4:
         img[..., 3] = 255
     return img
+
+
+def palette_alpha(w: int, h: int, colors: int = 40, seed: int = 7) -> np.ndarray:
+    """The decode fixpoint's TRUE adversarial class (measured round 3):
+    many palette colors with RANDOM ALPHAS. Nearly every chunk is an
+    INDEX loading an unknown alpha, so the written-slot estimate is
+    wrong about once per ~7 stream bytes and the fixpoint's exact prefix
+    can never catch up (1 Mpx: ~277k initial mismatches, stalls at
+    ~464k). Dense INDEX-alpha coupling is inherently sequential — this
+    class rides the fallback ladder by design, like the reference's
+    sequential loop (qoi.h:540)."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(colors, 4), dtype=np.uint8)
+    return pal[rng.integers(0, colors, size=(h, w))]

@@ -53,6 +53,45 @@ def test_v3_deep_index_chains_one_round():
     np.testing.assert_array_equal(got.reshape(h, w, 4), want)
 
 
+def test_v3_mixed_class_converges():
+    """The varying-alpha `mixed` class converges in a couple of rounds
+    (round-3 measurement: 1-2 mismatches per stream, fixed in one
+    correction round) — it must NOT take the fallback ladder."""
+    img = testimages.mixed(256, 128, 4, seed=3)
+    h, w, ch = img.shape
+    stream = oracle.encode(img, fmt.StreamDesc(w, h, ch))
+    chunks = np.frombuffer(stream, np.uint8)[fmt.HEADER_SIZE:]
+    cap = v1.bucket_size(len(chunks))
+    pad = np.zeros((cap,), np.uint8)
+    pad[: len(chunks)] = chunks
+    px32, conv, rounds = decode_v3._decode_device(
+        jnp.asarray(pad), np.int32(len(stream) - 22), v1.bucket_size(w * h))
+    assert bool(conv) and int(rounds) <= 3
+    got = decode_v3.unpack_px32(np.asarray(px32))[: w * h]
+    want, _ = oracle.decode(stream)
+    np.testing.assert_array_equal(got.reshape(h, w, 4), want)
+
+
+def test_v3_palette_alpha_takes_ladder_exactly():
+    """`palette_alpha` (dense INDEX chunks loading random alphas) is the
+    true adversarial class: the fixpoint must bail (not burn all rounds)
+    and the public decode must still return exact pixels via the
+    fallback ladder."""
+    img = testimages.palette_alpha(128, 96, colors=40, seed=7)
+    h, w, _ = img.shape
+    stream = oracle.encode(img, fmt.StreamDesc(w, h, 4))
+    chunks = np.frombuffer(stream, np.uint8)[fmt.HEADER_SIZE:]
+    cap = v1.bucket_size(len(chunks))
+    pad = np.zeros((cap,), np.uint8)
+    pad[: len(chunks)] = chunks
+    _, conv, _ = decode_v3._decode_device(
+        jnp.asarray(pad), np.int32(len(stream) - 22), v1.bucket_size(w * h))
+    assert not bool(conv)  # estimate stalls: this class is ladder-bound
+    got, _ = decode_v3.decode(stream)  # public path: exact via ladder
+    want, _ = oracle.decode(stream)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_v3_index_alpha_then_rgb_fixpoint():
     """INDEX restoring an old alpha followed by RGB breaks the optimistic
     written-slot estimate; the hash fixpoint must correct it."""

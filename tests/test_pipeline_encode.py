@@ -75,6 +75,35 @@ def test_compact_merge_equals_scatter():
     assert np.array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
 
 
+@pytest.mark.parametrize("n", [4096 * 3, 4096 * 2 + 100, 512, 64])
+@pytest.mark.parametrize("lens_kind", ["mixed", "dense6", "sparse", "empty"])
+def test_compact_bytes6_wordsum(n, lens_kind):
+    """The word-sum placement primitive (cumsum-difference assembly, no
+    sort/gather/kernel) must agree byte-for-byte with the sort-based
+    compaction across segment geometries (multi-segment, fallback seg=n)
+    and record-length regimes, including totals not divisible by 4 and
+    all-empty stagings."""
+    rng = np.random.default_rng(n * 7 + len(lens_kind))
+    k = 6
+    staging = rng.integers(1, 256, size=(n, k), dtype=np.uint8)
+    if lens_kind == "mixed":
+        lens = rng.integers(0, k + 1, size=(n,)).astype(np.int32)
+    elif lens_kind == "dense6":
+        lens = np.full((n,), 6, np.int32)
+        lens[-1] = 5  # force a final partial word
+    elif lens_kind == "sparse":
+        lens = np.where(rng.random(n) < 0.05,
+                        rng.integers(1, k + 1, size=(n,)), 0).astype(np.int32)
+    else:
+        lens = np.zeros((n,), np.int32)
+    cap = ((n * k + 3) // 4) * 4
+    a, ta = compact.compact_bytes6_wordsum(
+        jnp.asarray(staging.T.copy()), jnp.asarray(lens), cap)
+    b, tb = compact.compact_bytes(jnp.asarray(staging), jnp.asarray(lens), cap)
+    assert int(ta) == int(tb) == lens.sum()
+    assert np.array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
+
+
 @pytest.mark.parametrize("n", [4096 * 3, 4096 * 2 + 100, 512])
 def test_compact_bytes6_both_tiers(n):
     """compact_bytes6's two-tier segment-sort path (n divisible by the

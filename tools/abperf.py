@@ -110,15 +110,26 @@ def cmd_encode(batch_frames: int = 8):
     # Mpx/s < pipelined stages 238.4 (vmap no longer amortizes at batch
     # 8), and vpack OOMs HBM at compile (u32[8,12.4M,4] = 25 GB batched
     # broadcast inside the place kernel's operand prep).
+    # wsum = the round-3 word-sum placement primitive
+    # (ops/compact.compact_bytes6_wordsum): pure XLA, no sort, no
+    # placement kernel — one event-list slide + a cumsum difference.
+    # vwsum = the same as ONE vmapped whole-batch program (the 25 GB
+    # broadcast that killed vpack does not exist here).
     for name, seg, mode in (("pipe", 4096, "xla"),
                             ("stages", 0, "stages"),
                             ("pack", 2048, "pack"),
                             ("split", 2048, "split"),
                             ("splitd", 2048, "splitd"),
-                            ("splitdyn", 2048, "splitdyn")):
+                            ("splitdyn", 2048, "splitdyn"),
+                            ("wsum", 4096, "wsum"),
+                            ("wsum2k", 2048, "wsum"),
+                            ("wsum8k", 8192, "wsum"),
+                            ("vwsum", 4096, "wsum")):
         def enc_body(p, s=seg, m=mode):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
+            if m == "wsum":
+                return compact.compact_bytes6_wordsum(st, ln, cap * 6, seg=s)
             if m == "stages":
                 # compaction ablated: bounds the stages' in-context cost
                 # (NOT a valid encode — stream checksum only)
