@@ -193,6 +193,58 @@ def _initial_w(cls, r6, d32, lit32, entry_px32=None):
     return (gs * entry_hash + ts_ * entry_alpha + es) & 63
 
 
+def _anchored_w(cls, r6, d32, px32, entry_px32=None):
+    """Next-round written-slot estimate from a resolve's px values,
+    re-anchored at every reset chunk (round-3 design).
+
+    The naive iteration w' = hash(px) inherits ALL of px's downstream
+    corruption (one wrong table write poisons every INDEX read of that
+    slot, so the exact prefix advances only ~1 error per round —
+    measured ~100 bytes/round on dense-INDEX content). But the hash
+    recurrence re-anchors absolutely at three of the four op classes:
+
+      INDEX r:  hash(px') = r by the table invariant index[hash(p)]==p
+                (qoi.h:577) — exact regardless of px corruption;
+      RGBA:     hash is a literal function of the chunk bytes;
+      RGB:      hash(px') = hash of the resolved px' — exact wherever
+                the running alpha is unpoisoned (alpha is the ONLY
+                value dependence);
+      ADD/RUN:  h' = h + hash(delta) mod 64 (64 | 256 makes the hash
+                compatible with byte-wise mod-256 adds).
+
+    So one affine (g, e) scan with e = r6 at INDEX, hash(px) at
+    RGB/RGBA, hash(delta) at ADD rebuilds w with errors ONLY at RGB
+    chunks whose resolved alpha was poisoned — every genuine
+    stale-alpha error of the initial estimate is fixed in one round,
+    and canonical streams of every content class converge in ~2-3
+    rounds (the certificate in _decode_core stays hash(px) == w).
+    Non-canonical INDEX-to-unwritten-slot streams violate the r6
+    anchor's invariant and take the fallback ladder via the stall
+    bail, as before."""
+    m3, m5, m7, _ = fmt.HASH_MULTIPLIERS
+    if entry_px32 is None:
+        entry_hash = jnp.int32(_SEED_HASH)
+    else:
+        entry_hash = _hash_packed(entry_px32[None])[0]
+    dh = (m3 * (d32 & 0xFF).astype(jnp.int32)
+          + m5 * ((d32 >> 8) & 0xFF).astype(jnp.int32)
+          + m7 * ((d32 >> 16) & 0xFF).astype(jnp.int32)) & 63
+    is_reset = (cls == _CLS_RGB) | (cls == _CLS_RGBA) | (cls == _CLS_INDEX)
+    g = (~is_reset).astype(jnp.int32)
+    e = jnp.where(cls == _CLS_INDEX, r6,
+        jnp.where(is_reset, _hash_packed(px32),
+        jnp.where(cls == _CLS_ADD, dh, 0)))
+    packed = g | (e << 1)
+
+    def comb(p1, p2):
+        g1, e1 = p1 & 1, p1 >> 1
+        g2, e2 = p2 & 1, p2 >> 1
+        return (g1 & g2) | (((g2 * e1 + e2) & 63) << 1)
+
+    ps = scans.blocked_scan(comb, packed)
+    return ((ps & 1) * entry_hash + (ps >> 1)) & 63
+
+
 def _step_common(rec, px_root, px_val, src_root, src_val):
     """New px entry (root, val) for one scan step. rec: (meta, d32, lit32),
     all (nb,)."""
@@ -399,15 +451,22 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     def body(state):
         w, _, _, it, prev_bad, _ = state
         px, exit65 = _resolve(cls, r6, w, d32, lit32, m, b, entry65)
+        # certificate: self-consistency w == hash(px(w)) forces exactness
+        # (the consistent prefix is unique by induction on positions)
         true_w = jnp.where(starts, _hash_packed(px), 0)
         bad = jnp.sum((true_w != w).astype(jnp.int32))
+        # next estimate: re-anchored, NOT true_w — hash(px) wholesale
+        # re-corrupts every estimate downstream of the first wrong
+        # write, advancing the exact prefix ~1 error per round; the
+        # anchored rebuild fixes all genuine stale-alpha errors at once
+        w_next = jnp.where(starts, _anchored_w(cls, r6, d32, px,
+                                               entry_px32), 0)
         # bail early (bad = -1 flag) when the mismatch count stops
-        # shrinking: alpha-varying + INDEX-heavy streams build error
-        # chains deeper than any round budget (a round only guarantees
-        # the FIRST mismatch fixed) — burning all max_rounds would just
-        # delay the sequential fallback
+        # shrinking: only non-canonical streams (INDEX reads of
+        # unwritten slots break the r6 anchor's table invariant) stall
+        # now — burning all max_rounds would just delay the fallback
         stalled = (bad > 0) & (bad >= prev_bad)
-        return (true_w, px, bad == 0, it + 1,
+        return (w_next, px, bad == 0, it + 1,
                 jnp.where(stalled, jnp.int32(-1), bad), exit65)
 
     def cond(state):

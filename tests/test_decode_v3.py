@@ -72,11 +72,13 @@ def test_v3_mixed_class_converges():
     np.testing.assert_array_equal(got.reshape(h, w, 4), want)
 
 
-def test_v3_palette_alpha_takes_ladder_exactly():
-    """`palette_alpha` (dense INDEX chunks loading random alphas) is the
-    true adversarial class: the fixpoint must bail (not burn all rounds)
-    and the public decode must still return exact pixels via the
-    fallback ladder."""
+def test_v3_palette_alpha_converges_anchored():
+    """`palette_alpha` (dense INDEX chunks loading random alphas) was the
+    adversarial class for the naive w' = hash(px) fixpoint (error chains
+    grew with stream length; it could NEVER converge). The round-3
+    anchored next-w estimate (decode_v3._anchored_w) re-anchors at every
+    INDEX/RGB/RGBA chunk, so every canonical content class converges in
+    a few rounds — this class included."""
     img = testimages.palette_alpha(128, 96, colors=40, seed=7)
     h, w, _ = img.shape
     stream = oracle.encode(img, fmt.StreamDesc(w, h, 4))
@@ -84,12 +86,12 @@ def test_v3_palette_alpha_takes_ladder_exactly():
     cap = v1.bucket_size(len(chunks))
     pad = np.zeros((cap,), np.uint8)
     pad[: len(chunks)] = chunks
-    _, conv, _ = decode_v3._decode_device(
+    px32, conv, rounds = decode_v3._decode_device(
         jnp.asarray(pad), np.int32(len(stream) - 22), v1.bucket_size(w * h))
-    assert not bool(conv)  # estimate stalls: this class is ladder-bound
-    got, _ = decode_v3.decode(stream)  # public path: exact via ladder
+    assert bool(conv) and int(rounds) <= 4
+    got = decode_v3.unpack_px32(np.asarray(px32))[: w * h]
     want, _ = oracle.decode(stream)
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got.reshape(h, w, 4), want)
 
 
 def test_v3_index_alpha_then_rgb_fixpoint():
