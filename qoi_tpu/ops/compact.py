@@ -143,9 +143,19 @@ def compact_bytes6_wordsum(
     staging6: (6, N) uint8; lens: (N,) int32 in [0, 6]; capacity:
     static output byte size, multiple of 4. Returns (buffer (capacity,)
     uint8 valid in [0, total), total int32)."""
+    assert capacity % 4 == 0
+    ev = _wordsum_events(staging6, lens, seg)
+    return _wordsum_assemble(*_wordsum_slide(*ev[:2]), *ev[2:],
+                             capacity=capacity)
+
+
+def _wordsum_events(staging6, lens, seg=0):
+    """Phase 1 of the word-sum compaction: per-record word contributions,
+    the N-length cumsums, and the 2-slots-per-pixel boundary-event list
+    in (nseg, 2*seg) row form. Returns (val, aux, cnt, wbase, total,
+    v_all)."""
     from ..kernels.pack import _record_words
 
-    assert capacity % 4 == 0
     k, n = staging6.shape
     l = lens.astype(jnp.int32)
     off = exclusive_cumsum(l)
@@ -163,6 +173,7 @@ def compact_bytes6_wordsum(
     c2 = (hi_u >> 1) >> (31 - s)
     vsum = c0 + c1 + c2
     vexc = exclusive_cumsum(vsum.view(jnp.int32)).view(jnp.uint32)
+    v_all = vexc[-1] + vsum[-1] if n else jnp.uint32(0)
 
     endb = off + l
     w0 = off >> 2
@@ -171,9 +182,6 @@ def compact_bytes6_wordsum(
     ev1 = emits & (endb >= (w0 << 2) + 8)      # owns byte 4*(w0+1)+3
     val0 = vexc + c0
     val1 = vexc + c0 + c1
-    dest0 = w0
-    dest1 = w0 + 1
-    alive1 = ev1
 
     seg = seg or _COMPACT_SEG
     if n % seg or n < seg:
@@ -186,9 +194,9 @@ def compact_bytes6_wordsum(
             [a.reshape(nseg, seg), b.reshape(nseg, seg)],
             axis=2).reshape(nseg, sw)
 
-    val = rows2(jnp.where(ev0, val0, 0), jnp.where(alive1, val1, 0))
-    alive = rows2(ev0.astype(jnp.int32), alive1.astype(jnp.int32))
-    dest = rows2(dest0, dest1)
+    val = rows2(jnp.where(ev0, val0, 0), jnp.where(ev1, val1, 0))
+    alive = rows2(ev0.astype(jnp.int32), ev1.astype(jnp.int32))
+    dest = rows2(w0, w0 + 1)
 
     # word index of each segment's first event = events before it
     cnt = jnp.sum(alive, axis=1)
@@ -197,11 +205,16 @@ def compact_bytes6_wordsum(
     iota = jax.lax.broadcasted_iota(jnp.int32, (nseg, sw), 1)
     d = jnp.where(alive != 0, iota - (dest - wbase[:, None]), 0)
     aux = alive | (d << 1)
+    return val, aux, cnt, wbase, total, v_all
 
-    # tier 1: slide events to their within-segment word positions by the
-    # bits of d, LSB-first — injective for the same reason as
-    # kernels/pack._densify_shift (destinations strictly increasing);
-    # alive flag in aux bit 0, d in bits 1..
+
+def _wordsum_slide(val, aux):
+    """Phase 2: slide events to their within-segment word positions by
+    the bits of their distance, LSB-first — injective for the same
+    reason as kernels/pack._densify_shift (destinations strictly
+    increasing); alive flag in aux bit 0, distance in bits 1.."""
+    nseg, sw = val.shape
+
     def shift_rows(x, j):
         return jnp.concatenate(
             [x[:, j:], jnp.zeros((nseg, j), x.dtype)], axis=1)
@@ -216,8 +229,15 @@ def compact_bytes6_wordsum(
         val = jnp.where(mv_in, val_s, val)
         aux = jnp.where(mv_in, aux_s, jnp.where(mv_out, 0, aux))
         bit <<= 1
+    return val, aux
 
-    # tier 2: dense per-segment rows -> global word offsets
+
+def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity):
+    """Phase 3: dense per-segment event rows -> global word offsets
+    (windowed scatter-add), final-partial-word patch, cumsum difference,
+    byte assembly."""
+    nseg, sw = val.shape
+    n = nseg * sw // 2
     real = jax.lax.broadcasted_iota(jnp.int32, (nseg, sw), 1) < cnt[:, None]
     val = jnp.where(real, val, 0)
     w_cap = capacity // 4
@@ -240,7 +260,6 @@ def compact_bytes6_wordsum(
     # a final partial word (total % 4 != 0) has no boundary event; its
     # cumulative value is the grand total of all contributions
     w_last = (total - 1) >> 2
-    v_all = vexc[-1] + vsum[-1] if n else jnp.uint32(0)
     cends = jnp.where(
         jnp.arange(w_cap, dtype=jnp.int32) == w_last, v_all, cends)
 

@@ -113,23 +113,36 @@ def cmd_encode(batch_frames: int = 8):
     # wsum = the round-3 word-sum placement primitive
     # (ops/compact.compact_bytes6_wordsum): pure XLA, no sort, no
     # placement kernel — one event-list slide + a cumsum difference.
-    # vwsum = the same as ONE vmapped whole-batch program (the 25 GB
-    # broadcast that killed vpack does not exist here).
-    for name, seg, mode in (("pipe", 4096, "xla"),
-                            ("stages", 0, "stages"),
-                            ("pack", 2048, "pack"),
-                            ("split", 2048, "split"),
-                            ("splitd", 2048, "splitd"),
+    # Hardware r3 first pass: wsum4k 116.5 Mpx/s > splitdyn 108.2 >
+    # pipe 103.4; "wsum8k" (8192 does not divide n) silently fell back
+    # to ONE giant 16.6M-slot row = 24 full-width slide passes, 70.8.
+    # vwsum (vmapped whole batch) DIES at compile: the final vmapped
+    # u32->u8 bitcast broadcasts u32[8,12.4M,4] at 25 GB padded.
+    # wsev/wsslide = phase ablations (events only / events+slide,
+    # checksum-only); wsplit = TWO pipelined programs (A=stages+events,
+    # B=slide+assemble) to dodge the fused remat tax.
+    for name, seg, mode in (("stages", 0, "stages"),
                             ("splitdyn", 2048, "splitdyn"),
                             ("wsum", 4096, "wsum"),
-                            ("wsum2k", 2048, "wsum"),
-                            ("wsum8k", 8192, "wsum"),
-                            ("vwsum", 4096, "wsum")):
+                            ("wsev", 4096, "wsev"),
+                            ("wsslide", 4096, "wsslide"),
+                            ("wsum3k", 3072, "wsum"),
+                            ("wsum6k", 6144, "wsum"),
+                            ("wsplit", 4096, "wsplit")):
         def enc_body(p, s=seg, m=mode):
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
             if m == "wsum":
                 return compact.compact_bytes6_wordsum(st, ln, cap * 6, seg=s)
+            if m == "wsev":
+                ev = compact._wordsum_events(st, ln, seg=s)
+                return (jnp.sum(ev[0].view(jnp.int32)) + jnp.sum(ev[1])
+                        )[None].astype(jnp.uint8), ev[4]
+            if m == "wsslide":
+                ev = compact._wordsum_events(st, ln, seg=s)
+                val, aux = compact._wordsum_slide(ev[0], ev[1])
+                return (jnp.sum(val.view(jnp.int32)) + jnp.sum(aux)
+                        )[None].astype(jnp.uint8), ev[4]
             if m == "stages":
                 # compaction ablated: bounds the stages' in-context cost
                 # (NOT a valid encode — stream checksum only)
@@ -155,7 +168,19 @@ def cmd_encode(batch_frames: int = 8):
                     st, ln, cap * 6, tile=s, interpret=_MINI)
             return compact.compact_bytes6(st, ln, cap * 6, seg=s)
 
-        if mode in ("split", "splitd", "splitdyn"):
+        if mode == "wsplit":
+            prog_a = jax.jit(lambda p, s=seg: compact._wordsum_events(
+                *(lambda ch: (ch.staging, ch.lens))(
+                    pipeline.encode_stage_chunks(p, jnp.int32(n))), seg=s))
+            prog_b = jax.jit(lambda val, aux, *rest: compact._wordsum_assemble(
+                *compact._wordsum_slide(val, aux), *rest, capacity=cap * 6))
+
+            def run(a=prog_a, b=prog_b):
+                outs = [b(*a(x)) for x in xs]
+                for _, t in outs:
+                    int(jax.device_get(t))
+                return outs[0]
+        elif mode in ("split", "splitd", "splitdyn"):
             win = "dyn" if mode == "splitdyn" else "static"
             if mode == "split":
                 prog_a = jax.jit(lambda p: (
@@ -214,7 +239,7 @@ def cmd_encode(batch_frames: int = 8):
                 return outs[0]
 
         t0 = time.perf_counter()
-        if mode in ("stages", "packprep", "packnoop"):
+        if mode in ("stages", "packprep", "packnoop", "wsev", "wsslide"):
             run()  # checksum program, nothing to verify
         else:
             verify(*run())
