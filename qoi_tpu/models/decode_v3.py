@@ -448,36 +448,42 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     entry_px32 = None if entry65 is None else entry65[0]
     w0 = jnp.where(starts, _initial_w(cls, r6, d32, lit32, entry_px32), 0)
 
-    def body(state):
-        w, _, _, it, prev_bad, _ = state
+    def round_(w, prev_bad):
         px, exit65 = _resolve(cls, r6, w, d32, lit32, m, b, entry65)
         # certificate: self-consistency w == hash(px(w)) forces exactness
         # (the consistent prefix is unique by induction on positions)
         true_w = jnp.where(starts, _hash_packed(px), 0)
         bad = jnp.sum((true_w != w).astype(jnp.int32))
-        # next estimate: re-anchored, NOT true_w — hash(px) wholesale
-        # re-corrupts every estimate downstream of the first wrong
-        # write, advancing the exact prefix ~1 error per round; the
-        # anchored rebuild fixes all genuine stale-alpha errors at once
-        w_next = jnp.where(starts, _anchored_w(cls, r6, d32, px,
-                                               entry_px32), 0)
         # bail early (bad = -1 flag) when the mismatch count stops
         # shrinking: only non-canonical streams (INDEX reads of
         # unwritten slots break the r6 anchor's table invariant) stall
         # now — burning all max_rounds would just delay the fallback
         stalled = (bad > 0) & (bad >= prev_bad)
-        return (w_next, px, bad == 0, it + 1,
-                jnp.where(stalled, jnp.int32(-1), bad), exit65)
+        return px, exit65, jnp.where(stalled, jnp.int32(-1), bad)
+
+    def body(state):
+        _, px_prev, _, it, prev_bad, _ = state
+        # next estimate: re-anchored in the previous round's px, NOT
+        # true_w = hash(px) — hash(px) wholesale re-corrupts every
+        # estimate downstream of the first wrong write, advancing the
+        # exact prefix ~1 error per round; the anchored rebuild fixes
+        # all genuine stale-alpha errors at once
+        w = jnp.where(starts, _anchored_w(cls, r6, d32, px_prev,
+                                          entry_px32), 0)
+        px, exit65, bad = round_(w, prev_bad)
+        return (w, px, bad == 0, it + 1, bad, exit65)
 
     def cond(state):
         _, _, conv, it, bad, _ = state
         return ~conv & (it < max_rounds) & (bad != -1)
 
-    px0 = jnp.zeros((m,), jnp.uint32)
-    exit0 = jnp.zeros((65,), jnp.uint32)
+    # round 1 is peeled so the anchored rebuild (a full blocked scan)
+    # only ever executes for streams that truly need a second round —
+    # constant-alpha content (the whole benchmark-suite class) has an
+    # exact initial estimate and never pays it
+    px1, exit1, bad1 = round_(w0, jnp.int32(0x7FFFFFFF))
     w, px, conv, rounds, _, exit65 = jax.lax.while_loop(
-        cond, body, (w0, px0, jnp.bool_(False), jnp.int32(0),
-                     jnp.int32(0x7FFFFFFF), exit0))
+        cond, body, (w0, px1, bad1 == 0, jnp.int32(1), bad1, exit1))
     return px, starts, npix, pix_off, conv, rounds, exit65
 
 
