@@ -11,7 +11,8 @@ codec on this machine (BASELINE.md: 163 Mpx/s encode, 228 Mpx/s decode).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpx/s", "vs_baseline": N,
-   "decode_mpxs": N, "decode_vs_baseline": N}
+   "decode_mpxs": N, "decode_vs_baseline": N,
+   "decode_mixed_mpxs": N, "decode_mixed_vs_baseline": N}
 Extra diagnostics (SOL fractions, per-phase times) go to stderr only.
 """
 from __future__ import annotations
@@ -46,7 +47,6 @@ def main() -> None:
 
     from qoi_tpu import format as fmt
     from qoi_tpu.models import pipeline
-    from qoi_tpu.ops import compact
     from qoi_tpu.utils import profiling, testimages
 
     dev = jax.devices()[0]
@@ -63,37 +63,23 @@ def main() -> None:
 
     xs = [jax.device_put(jnp.asarray(batch[i])) for i in range(BATCH)]
 
-    # TWO pipelined programs per frame (stages+densify -> dense records;
-    # prep+place kernel from the materialized planes), dispatched
-    # BATCH-deep so per-program floors (~25-40 ms here) overlap in the
-    # async queue. Measured (r2 abperf, same-process): splitd 106.5 vs
-    # fused pipe 103.6 / fused pack 104.2 Mpx/s; vmap batching is dead
-    # (vstages 160.4, vpack OOMs at compile). PERF_NOTES.md. The splitd
-    # structure is the package API: pipeline.encode_device_pack.
-    use_pack = jax.devices()[0].platform == "tpu"
-    if use_pack:
-        def encode_frames():
-            outs = [pipeline.encode_device_pack(x, jnp.int32(n)) for x in xs]
-            for _, t in outs:
-                int(jax.device_get(t))
-            return outs
-    else:
-        # CPU fallback (smoke runs): the fused XLA two-tier program
-        @jax.jit
-        def encode_one(p):
-            ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
-            return compact.compact_bytes6(ch.staging, ch.lens, cap * 6)
+    # ONE fused program per frame (stages + word-sum compaction: the
+    # sort/gather/kernel-free placement primitive, ops/compact.py),
+    # frames dispatched BATCH-deep and synced with ONE combined fetch —
+    # the ~24-45 ms "per-program floor" is almost entirely D2H fetch
+    # round-trip, so per-frame device_get costs ~8x one combined fetch
+    # (hardware r3, PERF_NOTES.md). Same program on CPU smoke runs.
+    combine = jax.jit(lambda ts: jnp.stack(ts))
 
-        def encode_frames():
-            outs = [encode_one(x) for x in xs]
-            for _, t in outs:
-                int(jax.device_get(t))
-            return outs
+    def encode_frames():
+        outs = [pipeline.encode_device_wordsum(x, jnp.int32(n)) for x in xs]
+        # the combined totals array is the ONE thing a rep fetches
+        return outs, combine([t for _, t in outs])
 
     # correctness gate: frame 0's stream must match the oracle byte-for-byte
     t0 = time.perf_counter()
-    outs = encode_frames()
-    totals_host = np.asarray([int(jax.device_get(t)) for _, t in outs])
+    outs, tcomb = encode_frames()
+    totals_host = np.asarray(jax.device_get(tcomb))
     log(f"encode compile+first run: {time.perf_counter() - t0:.0f}s")
     # every timed frame must be byte-identical to the oracle; a mismatch
     # aborts the bench (a correctness regression must not publish a number)
@@ -122,7 +108,7 @@ def main() -> None:
     # timed reps: every rep host-fetches the totals (block_until_ready can
     # return before device completion on this platform)
     dt = profiling.device_sync_time(
-        lambda: encode_frames()[-1][1], reps=REPS)
+        lambda: encode_frames()[1], reps=REPS)
     enc_mpxs = (BATCH * n / 1e6) / dt
     enc_sol = profiling.encode_sol_model(BATCH * n, 4)
     log(f"encode {BATCH}x4K RGBA: {dt * 1e3:.2f} ms/batch, {enc_mpxs:.1f} "
@@ -131,14 +117,13 @@ def main() -> None:
         f"SOL fraction {enc_mpxs / enc_sol['sol_mpps']:.3f}")
 
     # ---- decode: same batch shape, pixels stay device-resident ----------
-    # Decode frames use the CONSTANT-alpha photo class (the canonical
-    # content of the qoi_benchmark_suite): the parallel decoder's written-
-    # slot estimate is exact there and it converges in one fixpoint round.
-    # `mixed`'s toggling alpha + palette INDEX chains build error chains
-    # deeper than any fixpoint budget — that adversarial class goes through
-    # the sequential fallback ladder and is covered by tests, not timed
-    # here (the reference C loop is content-insensitive; the 228 Mpx/s
-    # baseline applies to both classes within ~20%).
+    # TWO content classes are timed: the CONSTANT-alpha photo class (the
+    # canonical qoi_benchmark_suite content — the written-slot estimate
+    # is exact, 1 fixpoint round) and the alpha-toggling INDEX-heavy
+    # `mixed` class, which the r3 anchored next-w rebuild
+    # (decode_v3._anchored_w) converges in 2 rounds. The reference C
+    # loop (qoi.h:488) is content-insensitive, so publishing both
+    # numbers makes the comparison honest across classes.
     from qoi_tpu import oracle
     from qoi_tpu.models import decode_pipeline as v1
     from qoi_tpu.models import decode_v3
@@ -150,33 +135,41 @@ def main() -> None:
         buf[:n] = pipeline.force_rgba(f, desc)
         dsources.append(jax.device_put(jnp.asarray(buf)))
     streams = [oracle.encode(f, desc) for f in dframes]
+    streams_mixed = [oracle.encode(f, desc) for f in frames]
 
-    mcap = v1.bucket_size(max(len(s) for s in streams) - fmt.HEADER_SIZE)
+    # one shape bucket for both classes => ONE compiled decode program
+    mcap = v1.bucket_size(
+        max(len(s) for s in streams + streams_mixed) - fmt.HEADER_SIZE)
     npc = v1.bucket_size(n)
-    bodies = np.zeros((BATCH, mcap), np.uint8)
-    clens = np.zeros((BATCH,), np.int32)
-    for i, s in enumerate(streams):
-        raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
-        bodies[i, : len(raw)] = raw
-        clens[i] = len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
-    # decode batch = 2x the uploaded streams, duplicated ON DEVICE (the
-    # ~3 MB/s host tunnel makes re-uploading 134 MB pointless): batch 16
-    # measured ~7% over batch 8 (one more halving of program overhead)
-    dbatch = jnp.concatenate([jnp.asarray(bodies)] * 2, axis=0)
-    dbatch = jax.device_put(dbatch)
-    dclens = jax.device_put(jnp.asarray(np.concatenate([clens, clens])))
+
+    def to_device_batch(strms):
+        bodies = np.zeros((BATCH, mcap), np.uint8)
+        clens = np.zeros((BATCH,), np.int32)
+        for i, s in enumerate(strms):
+            raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+            bodies[i, : len(raw)] = raw
+            clens[i] = len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
+        # decode batch = 2x the uploaded streams, duplicated ON DEVICE
+        # (the ~3 MB/s host tunnel makes re-uploading 134 MB pointless):
+        # batch 16 measured ~7% over batch 8
+        db = jax.device_put(
+            jnp.concatenate([jnp.asarray(bodies)] * 2, axis=0))
+        dc = jax.device_put(jnp.asarray(np.concatenate([clens, clens])))
+        return db, dc
+
+    dbatch, dclens = to_device_batch(streams)
+    mbatch, mclens = to_device_batch(streams_mixed)
     dec_batch = 2 * BATCH
 
     use_kernel = dev.platform == "tpu"
 
     # ONE vmapped program for the whole batch: measured faster than
     # dispatch pipelining for decode (93 vs 86 Mpx/s at batch 4 — the
-    # per-program device overhead amortizes across all lanes; photo-class
-    # streams all converge in the same single round, so no lane idles)
+    # per-program device overhead amortizes across all lanes; same-class
+    # streams all converge in the same number of rounds, so no lane idles)
     @jax.jit
     def decode_batch(d, c):
-        out, conv, _ = decode_v3._decode_device_batch(
-            d, c, npc, use_kernel=use_kernel)
+        out, conv = decode_v3.decode_group(d, c, npc, use_kernel=use_kernel)
         return out, jnp.all(conv)
 
     # device-side bit-exactness gate: decoded packed px vs the uploaded
@@ -190,33 +183,39 @@ def main() -> None:
         m = min(npc, want.shape[0])
         return jnp.all(out[:n] == want[:m][:n]) if m >= n else jnp.bool_(False)
 
-    def decode_frames():
-        out, conv = decode_batch(dbatch, dclens)
-        assert bool(jax.device_get(conv)), "decode fixpoint non-convergence"
-        return out
+    def bench_decode(label, db, dc, srcs):
+        def decode_frames():
+            out, conv = decode_batch(db, dc)
+            assert bool(jax.device_get(conv)), "decode fixpoint non-convergence"
+            return out
 
-    t0 = time.perf_counter()
-    out = decode_frames()
-    log(f"decode compile+first run: {time.perf_counter() - t0:.0f}s")
-    for i in range(dec_batch):
-        if not bool(jax.device_get(check_one(out[i], dsources[i % BATCH]))):
-            log(f"VERIFY FAILED: frame {i} decode mismatches source pixels")
-            print(json.dumps({
-                "metric": "encode_4k_rgba_batch_throughput",
-                "value": round(enc_mpxs, 1), "unit": "Mpx/s",
-                "vs_baseline": round(enc_mpxs / BASELINE_ENCODE_MPXS, 2),
-                "decode_mpxs": 0.0, "decode_vs_baseline": 0.0,
-                "verify_failed": True,
-            }))
-            sys.exit(1)
-    log(f"verified: all {dec_batch} decodes pixel-identical to source (on device)")
+        t0 = time.perf_counter()
+        out = decode_frames()
+        log(f"decode[{label}] compile+first run: {time.perf_counter() - t0:.0f}s")
+        for i in range(dec_batch):
+            if not bool(jax.device_get(check_one(out[i], srcs[i % BATCH]))):
+                log(f"VERIFY FAILED: {label} frame {i} decode mismatches source")
+                print(json.dumps({
+                    "metric": "encode_4k_rgba_batch_throughput",
+                    "value": round(enc_mpxs, 1), "unit": "Mpx/s",
+                    "vs_baseline": round(enc_mpxs / BASELINE_ENCODE_MPXS, 2),
+                    "decode_mpxs": 0.0, "decode_vs_baseline": 0.0,
+                    "verify_failed": True,
+                }))
+                sys.exit(1)
+        log(f"verified: all {dec_batch} {label} decodes pixel-identical "
+            f"to source (on device)")
 
-    ddt = profiling.device_sync_time(
-        lambda: decode_frames()[0, :1], reps=REPS)
-    dec_mpxs = (dec_batch * n / 1e6) / ddt
-    dec_sol = profiling.decode_sol_model(dec_batch * n, 4)
-    log(f"decode {dec_batch}x4K RGBA: {ddt * 1e3:.2f} ms/batch, {dec_mpxs:.1f} "
-        f"Mpx/s, SOL fraction {dec_mpxs / dec_sol['sol_mpps']:.3f}")
+        ddt = profiling.device_sync_time(
+            lambda: decode_frames()[0, :1], reps=REPS)
+        mpxs = (dec_batch * n / 1e6) / ddt
+        sol = profiling.decode_sol_model(dec_batch * n, 4)
+        log(f"decode[{label}] {dec_batch}x4K RGBA: {ddt * 1e3:.2f} ms/batch, "
+            f"{mpxs:.1f} Mpx/s, SOL fraction {mpxs / sol['sol_mpps']:.3f}")
+        return mpxs
+
+    dec_mpxs = bench_decode("photo", dbatch, dclens, dsources)
+    mix_mpxs = bench_decode("mixed", mbatch, mclens, xs)
 
     print(json.dumps({
         "metric": "encode_4k_rgba_batch_throughput",
@@ -225,6 +224,8 @@ def main() -> None:
         "vs_baseline": round(enc_mpxs / BASELINE_ENCODE_MPXS, 2),
         "decode_mpxs": round(dec_mpxs, 1),
         "decode_vs_baseline": round(dec_mpxs / BASELINE_DECODE_MPXS, 2),
+        "decode_mixed_mpxs": round(mix_mpxs, 1),
+        "decode_mixed_vs_baseline": round(mix_mpxs / BASELINE_DECODE_MPXS, 2),
     }))
 
 

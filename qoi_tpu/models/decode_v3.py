@@ -566,11 +566,17 @@ def unpack_px32(px32: np.ndarray) -> np.ndarray:
         px32.shape + (4,))
 
 
-def decode_group(data: jnp.ndarray, chunks_len: jnp.ndarray, n_px_cap: int):
+def decode_group(data: jnp.ndarray, chunks_len: jnp.ndarray, n_px_cap: int,
+                 use_kernel: bool = None, max_rounds: int = _MAX_ROUNDS):
     """Batched device decode for same-bucket streams. data: (B, M) uint8;
     chunks_len: (B,) int32. Returns (px32 (B, n_px_cap) uint32, converged
-    (B,) bool)."""
-    out, conv, _ = _decode_device_batch(data, chunks_len, n_px_cap)
+    (B,) bool). `use_kernel` selects the Pallas expand kernel (defaults
+    to auto: on for real TPU)."""
+    if use_kernel is None:
+        use_kernel = _use_kernel_default()
+    out, conv, _ = _decode_device_batch(data, chunks_len, n_px_cap,
+                                        max_rounds=max_rounds,
+                                        use_kernel=use_kernel)
     return out, conv
 
 

@@ -266,6 +266,24 @@ def encode_device_pack(px4, n_valid, *, window: str = "dyn",
                                interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("seg",))
+def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
+                          seg: int = 4096):
+    """Device-resident encode as ONE fused program: stages + the word-sum
+    compaction (ops/compact.compact_bytes6_wordsum — sort-free,
+    gather-free, kernel-free placement). The fastest measured single-chip
+    structure (hardware r3): one program per frame, frames dispatched
+    back-to-back and synced with ONE combined fetch (the ~24-45 ms
+    'per-program floor' is almost entirely D2H fetch round-trip, so one
+    device_get per frame costs ~8x one combined fetch — PERF_NOTES.md).
+    Returns (buf (6*N,) uint8 valid in [0, total), total int32)."""
+    with profiling.annotate("qoi.encode.stage_chunks"):
+        chunks = encode_stage_chunks(px4, n_valid)
+    with profiling.annotate("qoi.encode.compact"):
+        return compact.compact_bytes6_wordsum(
+            chunks.staging, chunks.lens, px4.shape[0] * 6, seg=seg)
+
+
 def bucket_size(n: int, floor: int = 256) -> int:
     """Round a pixel count up to the next power of two (>= floor), bounding
     the number of distinct compiled shapes to O(log N_max)."""

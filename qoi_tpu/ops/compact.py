@@ -105,7 +105,7 @@ def compact_bytes6(
 
 def compact_bytes6_wordsum(
     staging6: jnp.ndarray, lens: jnp.ndarray, capacity: int,
-    seg: int = 0,
+    seg: int = 0, radix: int = 2, words_out: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Word-sum compaction: the gather/sort/kernel-free placement
     primitive (round-3 design; replaces both the two-tier sort and the
@@ -145,8 +145,8 @@ def compact_bytes6_wordsum(
     uint8 valid in [0, total), total int32)."""
     assert capacity % 4 == 0
     ev = _wordsum_events(staging6, lens, seg)
-    return _wordsum_assemble(*_wordsum_slide(*ev[:2]), *ev[2:],
-                             capacity=capacity)
+    return _wordsum_assemble(*_wordsum_slide(*ev[:2], radix=radix), *ev[2:],
+                             capacity=capacity, words_out=words_out)
 
 
 def _wordsum_events(staging6, lens, seg=0):
@@ -208,16 +208,36 @@ def _wordsum_events(staging6, lens, seg=0):
     return val, aux, cnt, wbase, total, v_all
 
 
-def _wordsum_slide(val, aux):
+def _wordsum_slide(val, aux, radix: int = 2):
     """Phase 2: slide events to their within-segment word positions by
-    the bits of their distance, LSB-first — injective for the same
+    the digits of their distance, LSB-first — injective for the same
     reason as kernels/pack._densify_shift (destinations strictly
-    increasing); alive flag in aux bit 0, distance in bits 1.."""
+    increasing); alive flag in aux bit 0, distance in bits 1..
+    radix=4 halves the pass count (two distance bits per pass, three
+    shifted candidate reads + a 4-way select)."""
     nseg, sw = val.shape
 
     def shift_rows(x, j):
+        j = min(j, sw)  # radix-4's 3q step can exceed the row width
         return jnp.concatenate(
             [x[:, j:], jnp.zeros((nseg, j), x.dtype)], axis=1)
+
+    if radix == 4:
+        q, lg = 1, 0
+        while q < sw:
+            fld = lambda a: ((a >> (1 + lg)) & 3) * (a & 1)
+            here = fld(aux)
+            v1, a1 = shift_rows(val, q), shift_rows(aux, q)
+            v2, a2 = shift_rows(val, 2 * q), shift_rows(aux, 2 * q)
+            v3, a3 = shift_rows(val, 3 * q), shift_rows(aux, 3 * q)
+            in1, in2, in3 = fld(a1) == 1, fld(a2) == 2, fld(a3) == 3
+            val = jnp.where(in3, v3, jnp.where(in2, v2,
+                  jnp.where(in1, v1, val)))
+            aux = jnp.where(in3, a3, jnp.where(in2, a2,
+                  jnp.where(in1, a1, jnp.where(here != 0, 0, aux))))
+            q <<= 2
+            lg += 2
+        return val, aux
 
     bit = 1
     while bit < sw:
@@ -232,10 +252,13 @@ def _wordsum_slide(val, aux):
     return val, aux
 
 
-def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity):
+def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity,
+                      words_out: bool = False):
     """Phase 3: dense per-segment event rows -> global word offsets
     (windowed scatter-add), final-partial-word patch, cumsum difference,
-    byte assembly."""
+    byte assembly. `words_out` skips the u32->u8 bitcast and returns
+    (words (capacity//4,) uint32, total) — the stream bytes in
+    little-endian word form (numpy .view(uint8) on the host is free)."""
     nseg, sw = val.shape
     n = nseg * sw // 2
     real = jax.lax.broadcasted_iota(jnp.int32, (nseg, sw), 1) < cnt[:, None]
@@ -264,6 +287,8 @@ def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity):
         jnp.arange(w_cap, dtype=jnp.int32) == w_last, v_all, cends)
 
     words = cends - jnp.concatenate([jnp.zeros((1,), jnp.uint32), cends[:-1]])
+    if words_out:
+        return words, total
     out = jax.lax.bitcast_convert_type(
         words.view(jnp.int32), jnp.uint8).reshape(-1)
     return out, total

@@ -102,6 +102,18 @@ def test_compact_bytes6_wordsum(n, lens_kind):
     b, tb = compact.compact_bytes(jnp.asarray(staging), jnp.asarray(lens), cap)
     assert int(ta) == int(tb) == lens.sum()
     assert np.array_equal(np.asarray(a)[: int(ta)], np.asarray(b)[: int(tb)])
+    # the radix-4 slide (two distance bits per pass) and the words_out
+    # form (u32 little-endian words, host .view is free) must agree too
+    a4, t4 = compact.compact_bytes6_wordsum(
+        jnp.asarray(staging.T.copy()), jnp.asarray(lens), cap, radix=4)
+    assert int(t4) == int(ta)
+    assert np.array_equal(np.asarray(a4)[: int(ta)], np.asarray(b)[: int(tb)])
+    w, tw = compact.compact_bytes6_wordsum(
+        jnp.asarray(staging.T.copy()), jnp.asarray(lens), cap,
+        words_out=True)
+    assert int(tw) == int(ta)
+    assert np.array_equal(
+        np.asarray(w).view(np.uint8)[: int(ta)], np.asarray(b)[: int(tb)])
 
 
 @pytest.mark.parametrize("n", [4096 * 3, 4096 * 2 + 100, 512])

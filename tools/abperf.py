@@ -38,14 +38,23 @@ def log(msg):
 
 
 def _floor_probe(jax, jnp, x):
+    """The 'floor' is dominated by the D2H fetch ROUND-TRIP, not program
+    dispatch: 8 trivial programs + one combined fetch cost barely more
+    than 1 program + 1 fetch, while 8 serial fetches cost ~8x. Print
+    both so every A/B log carries its own floor calibration."""
     f = jax.jit(lambda p: (jnp.ravel(p)[:8].astype(jnp.int32) + 1))
+    comb = jax.jit(lambda ts: jnp.stack(ts))
     int(jax.device_get(f(x))[0])
-    ts = []
+    ts, t8 = [], []
     for _ in range(REPS):
         t0 = time.perf_counter()
         int(jax.device_get(f(x))[0])
         ts.append(time.perf_counter() - t0)
-    print(f"floor: min {min(ts)*1e3:.1f} ms "
+        t0 = time.perf_counter()
+        jax.device_get(comb([f(x) for _ in range(8)]))
+        t8.append(time.perf_counter() - t0)
+    print(f"floor: 1 prog+fetch min {min(ts)*1e3:.1f} ms, "
+          f"8 progs+1 fetch min {min(t8)*1e3:.1f} ms "
           f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
 
 
@@ -83,8 +92,10 @@ def cmd_encode(batch_frames: int = 8):
 
     def verify(buf, tot):
         tot = int(jax.device_get(tot))
-        s = (fmt.pack_header(desc)
-             + np.asarray(jax.device_get(buf))[:tot].tobytes() + fmt.TRAILER)
+        raw = np.asarray(jax.device_get(buf))
+        if raw.dtype != np.uint8:  # words_out form: u32 LE words
+            raw = raw.view(np.uint8)
+        s = (fmt.pack_header(desc) + raw[:tot].tobytes() + fmt.TRAILER)
         assert s == want0, "oracle mismatch"
 
     import copy_kernel as kcopy  # tools/-local: measured dead end
@@ -121,19 +132,82 @@ def cmd_encode(batch_frames: int = 8):
     # wsev/wsslide = phase ablations (events only / events+slide,
     # checksum-only); wsplit = TWO pipelined programs (A=stages+events,
     # B=slide+assemble) to dodge the fused remat tax.
+    # Hardware r3 second pass: wsum phase split per frame (over stages
+    # 34.5) = events 8.2 + slide 11.5 + assemble 16.6; wsum 117.2 ==
+    # wsplit 117.5 == wsum6k 118.3 (no remat tax to dodge, seg flat).
+    # wsumNN = seg sweep into the NARROW-row regime: the slide is
+    # log2(2*seg) full-array passes, so seg=64 (128-lane rows) needs 7
+    # passes vs 12 at seg=4096. st* = intra-stages ablations (checksum
+    # only): steq = pixel-shift eq mask; strun = eq + run segmentation;
+    # sttab = eq + table replay.
+    # Hardware r3 third pass — THE FETCH-RTT DISCOVERY: the ~24-45 ms
+    # "per-program floor" is mostly the D2H fetch round-trip, and the
+    # old run() did one device_get PER FRAME, serially: 8 trivial
+    # programs + 8 fetches = 388 ms vs the same 8 programs + ONE
+    # combiner program + ONE fetch = 34 ms. Every pipelined variant is
+    # now synced via the combiner (one fetch per rep); *sf = the old
+    # serial-fetch discipline kept for the record. Narrow-seg sweep is
+    # CLOSED (1k/256/64: 99.6/60.4/23.2 Mpx/s — tall-skinny rows die);
+    # intra-stages: eq+runs+table ~3 ms/frame real, classify+staging
+    # ~7.5 — stages is floor-dominated.
+    comb = jax.jit(lambda ts: jnp.stack(ts))
+
+    def sync(outs):
+        np.asarray(jax.device_get(comb([t for _, t in outs])))
+
+    # Hardware r3 fourth pass agenda: the combined fetch showed the 8
+    # frames are DEVICE-bound (~68 ms/frame: fetch RTTs hide behind
+    # device execution except on trivial programs) — so the old st*
+    # numbers were pure fetch artifacts. Re-ablating with honest sync:
+    # sttab8k = table lax.map chunk 8192 (4x fewer sequential map
+    # steps); wsr4 = radix-4 slide (6 passes of 3-candidate selects vs
+    # 12 of 1); wsnob = words_out u32 form (no final u32->u8 bitcast —
+    # the known relayout trap) — still a VALID verified encode, the
+    # host .view(uint8) is free.
     for name, seg, mode in (("stages", 0, "stages"),
-                            ("splitdyn", 2048, "splitdyn"),
+                            ("steq", 0, "steq"),
+                            ("strun", 0, "strun"),
+                            ("sttab", 0, "sttab"),
+                            ("sttab8k", 0, "sttab8k"),
                             ("wsum", 4096, "wsum"),
-                            ("wsev", 4096, "wsev"),
-                            ("wsslide", 4096, "wsslide"),
-                            ("wsum3k", 3072, "wsum"),
-                            ("wsum6k", 6144, "wsum"),
-                            ("wsplit", 4096, "wsplit")):
+                            ("wsr4", 4096, "wsr4"),
+                            ("wsnob", 4096, "wsnob")):
         def enc_body(p, s=seg, m=mode):
+            if m in ("steq", "strun", "sttab", "sttab8k"):
+                from qoi_tpu.ops import scans, table
+                prev = jnp.concatenate(
+                    [pipeline._SEED[None].astype(jnp.uint8), p[:-1]], axis=0)
+                eq = jnp.all(p == prev, axis=-1)
+                if m == "steq":
+                    cs = jnp.sum(eq.astype(jnp.int32))
+                elif m == "strun":
+                    runs = scans.run_segmentation(eq, last_pos=n - 1)
+                    cs = (jnp.sum(runs.run_val) + jnp.sum(runs.flush_val)
+                          + jnp.sum(runs.emits_run.astype(jnp.int32))
+                          + jnp.sum(runs.flush.astype(jnp.int32)))
+                else:
+                    old = table._SEG_BLOCKS
+                    if m == "sttab8k":
+                        table._SEG_BLOCKS = 8192
+                    try:
+                        hit0, (tbl, wr) = table.table_hit(
+                            table.hash64(p), table.pack_rgba(p), write=~eq)
+                    finally:
+                        table._SEG_BLOCKS = old
+                    cs = (jnp.sum(hit0.astype(jnp.int32))
+                          + jnp.sum(tbl.view(jnp.int32))
+                          + jnp.sum(wr.astype(jnp.int32)))
+                return cs[None].astype(jnp.uint8), cs
             ch = pipeline.encode_stage_chunks(p, jnp.int32(n))
             st, ln = ch.staging, ch.lens
             if m == "wsum":
                 return compact.compact_bytes6_wordsum(st, ln, cap * 6, seg=s)
+            if m == "wsr4":
+                return compact.compact_bytes6_wordsum(st, ln, cap * 6, seg=s,
+                                                      radix=4)
+            if m == "wsnob":
+                return compact.compact_bytes6_wordsum(st, ln, cap * 6, seg=s,
+                                                      words_out=True)
             if m == "wsev":
                 ev = compact._wordsum_events(st, ln, seg=s)
                 return (jnp.sum(ev[0].view(jnp.int32)) + jnp.sum(ev[1])
@@ -177,8 +251,7 @@ def cmd_encode(batch_frames: int = 8):
 
             def run(a=prog_a, b=prog_b):
                 outs = [b(*a(x)) for x in xs]
-                for _, t in outs:
-                    int(jax.device_get(t))
+                sync(outs)
                 return outs[0]
         elif mode in ("split", "splitd", "splitdyn"):
             win = "dyn" if mode == "splitdyn" else "static"
@@ -208,8 +281,7 @@ def cmd_encode(batch_frames: int = 8):
 
             def run(a=prog_a, b=prog_b):
                 outs = [b(*a(x)) for x in xs]
-                for _, t in outs:
-                    int(jax.device_get(t))
+                sync(outs)
                 return outs[0]
         elif name.startswith("v"):
             @jax.jit
@@ -232,14 +304,21 @@ def cmd_encode(batch_frames: int = 8):
         else:
             enc_one = jax.jit(enc_body)
 
-            def run(e=enc_one):
-                outs = [e(x) for x in xs]
-                for _, t in outs:
-                    int(jax.device_get(t))
-                return outs[0]
+            if name.endswith("sf"):  # legacy serial-fetch discipline
+                def run(e=enc_one):
+                    outs = [e(x) for x in xs]
+                    for _, t in outs:
+                        int(jax.device_get(t))
+                    return outs[0]
+            else:
+                def run(e=enc_one):
+                    outs = [e(x) for x in xs]
+                    sync(outs)
+                    return outs[0]
 
         t0 = time.perf_counter()
-        if mode in ("stages", "packprep", "packnoop", "wsev", "wsslide"):
+        if mode in ("stages", "packprep", "packnoop", "wsev", "wsslide",
+                    "steq", "strun", "sttab", "sttab8k"):
             run()  # checksum program, nothing to verify
         else:
             verify(*run())
