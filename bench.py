@@ -88,9 +88,11 @@ def main() -> None:
 
         if oracle.available():
             for i, (buf_i, _) in enumerate(outs):
+                # u32 little-endian word output: the byte view is free
+                raw = np.asarray(jax.device_get(buf_i)).view(np.uint8)
                 stream_i = (
                     fmt.pack_header(desc)
-                    + np.asarray(jax.device_get(buf_i))[: totals_host[i]].tobytes()
+                    + raw[: totals_host[i]].tobytes()
                     + fmt.TRAILER
                 )
                 if oracle.encode(frames[i], desc) != stream_i:

@@ -55,6 +55,19 @@ class EncodedChunks(NamedTuple):
     carry: EncoderCarry   # outgoing boundary state after the valid region
 
 
+class EncodedWords(NamedTuple):
+    """Per-pixel chunk staging in packed word form (form='words'): the
+    exact (lo, hi) layout kernels/pack._record_words derives from the
+    byte planes, emitted directly by the classifier — no (6, N) staging
+    materialization, no repack (hardware r3: classify+staging was ~15.3
+    ms/frame of the 31.4 ms stages cost in byte form)."""
+
+    lo: jnp.ndarray    # (N,) uint32 stream bytes 0..3, little-endian
+    hi: jnp.ndarray    # (N,) uint32 stream bytes 4..5 in the low 16 bits
+    lens: jnp.ndarray  # (N,) int32 emitted byte count (0 for run members)
+    carry: EncoderCarry
+
+
 def encode_stage_chunks(
     px4: jnp.ndarray,
     n_valid=None,
@@ -65,6 +78,7 @@ def encode_stage_chunks(
     contains_last=None,
     table_local=None,
     table_block: int = table._BLOCK,
+    form: str = "bytes",
 ) -> EncodedChunks:
     """Stages 1-4: per-pixel chunk bytes + lengths, fully data-parallel.
 
@@ -138,39 +152,58 @@ def encode_stage_chunks(
     luma_b0 = (fmt.OP_LUMA | (i16(vg) + 32)).astype(jnp.uint8)
     luma_b1 = ((i16(vg_r) + 8) << 4 | (i16(vg_b) + 8)).astype(jnp.uint8)
     idx_byte = (fmt.OP_INDEX | keys).astype(jnp.uint8)
-    u8 = lambda x: jnp.full_like(idx_byte, x)
-
-    own0 = jnp.where(hit, idx_byte,
-            jnp.where(is_diff, diff_b0,
-            jnp.where(is_luma, luma_b0,
-            jnp.where(is_rgb, u8(fmt.OP_RGB), u8(fmt.OP_RGBA)))))
-    lit1 = jnp.where(is_luma, luma_b1, px4[:, 0])
-    own1 = jnp.where(hit | is_diff, 0, lit1)
-    own2 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 1])
-    own3 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 2])
-    own4 = jnp.where(is_rgb | hit | is_diff | is_luma, 0, px4[:, 3])
-    own_len = jnp.where(hit | is_diff, 1,
-               jnp.where(is_luma, 2, jnp.where(is_rgb, 4, 5)))
 
     run_byte = (fmt.OP_RUN | (runs.run_val - 1)).astype(jnp.uint8)
     flush_byte = (fmt.OP_RUN | (runs.flush_val - 1)).astype(jnp.uint8)
-
-    # byte 0: RUN for run members, flush byte when pending, else the chunk
-    # head; bytes 1..5 shift right one slot when a flush byte leads
     fl = runs.flush
-    s0 = jnp.where(eq, run_byte, jnp.where(fl, flush_byte, own0))
-    s1 = jnp.where(eq, 0, jnp.where(fl, own0, own1))
-    s2 = jnp.where(eq, 0, jnp.where(fl, own1, own2))
-    s3 = jnp.where(eq, 0, jnp.where(fl, own2, own3))
-    s4 = jnp.where(eq, 0, jnp.where(fl, own3, own4))
-    s5 = jnp.where(eq | ~fl, 0, own4)
-    staging = jnp.stack([s0, s1, s2, s3, s4, s5], axis=0)  # (6, N)
-
+    own_len = jnp.where(hit | is_diff, 1,
+               jnp.where(is_luma, 2, jnp.where(is_rgb, 4, 5)))
     lens = jnp.where(
         eq,
         jnp.where(runs.emits_run, 1, 0),
         own_len.astype(jnp.int32) + fl.astype(jnp.int32),
     )
+
+    if form == "words":
+        # per-class whole-record words (bytes at/past len already zero);
+        # the flush prefix and the run byte apply as word-level shifts —
+        # exactly kernels/pack._record_words' (lo, hi) layout without
+        # ever materializing the (6, N) byte planes
+        u32 = lambda v: v.astype(jnp.uint32)
+        rgbx = (u32(px4[:, 0]) << 8 | u32(px4[:, 1]) << 16
+                | u32(px4[:, 2]) << 24)
+        own_lo = jnp.where(hit, u32(idx_byte),
+                 jnp.where(is_diff, u32(diff_b0),
+                 jnp.where(is_luma, u32(luma_b0) | u32(luma_b1) << 8,
+                 jnp.where(is_rgb, fmt.OP_RGB | rgbx, fmt.OP_RGBA | rgbx))))
+        own_hi = jnp.where(is_rgb | hit | is_diff | is_luma,
+                           jnp.uint32(0), u32(px4[:, 3]))
+        lo = jnp.where(fl, u32(flush_byte) | own_lo << 8, own_lo)
+        hi = jnp.where(fl, (own_lo >> 24) | own_hi << 8, own_hi)
+        lo = jnp.where(eq, jnp.where(runs.emits_run, u32(run_byte), 0), lo)
+        hi = jnp.where(eq, 0, hi)
+        staging = (lo, hi)
+    else:
+        u8 = lambda x: jnp.full_like(idx_byte, x)
+        own0 = jnp.where(hit, idx_byte,
+                jnp.where(is_diff, diff_b0,
+                jnp.where(is_luma, luma_b0,
+                jnp.where(is_rgb, u8(fmt.OP_RGB), u8(fmt.OP_RGBA)))))
+        lit1 = jnp.where(is_luma, luma_b1, px4[:, 0])
+        own1 = jnp.where(hit | is_diff, 0, lit1)
+        own2 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 1])
+        own3 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 2])
+        own4 = jnp.where(is_rgb | hit | is_diff | is_luma, 0, px4[:, 3])
+
+        # byte 0: RUN for run members, flush byte when pending, else the
+        # chunk head; bytes 1..5 shift right one slot when a flush leads
+        s0 = jnp.where(eq, run_byte, jnp.where(fl, flush_byte, own0))
+        s1 = jnp.where(eq, 0, jnp.where(fl, own0, own1))
+        s2 = jnp.where(eq, 0, jnp.where(fl, own1, own2))
+        s3 = jnp.where(eq, 0, jnp.where(fl, own2, own3))
+        s4 = jnp.where(eq, 0, jnp.where(fl, own3, own4))
+        s5 = jnp.where(eq | ~fl, 0, own4)
+        staging = jnp.stack([s0, s1, s2, s3, s4, s5], axis=0)  # (6, N)
 
     # -- outgoing carry at the valid-region boundary (for tile chaining).
     # Pads are forced eq, so last_noneq always lands inside the valid region.
@@ -186,6 +219,8 @@ def encode_stage_chunks(
     last_px = jnp.where(jnp.asarray(n_val) > 0,
                         px4[jnp.maximum(jnp.asarray(n_val) - 1, 0)], prev_in)
     carry = EncoderCarry(last_px, run_out, tbl_out, wr_out)
+    if form == "words":
+        return EncodedWords(staging[0], staging[1], lens, carry)
     return EncodedChunks(staging, lens, carry)
 
 
@@ -269,19 +304,22 @@ def encode_device_pack(px4, n_valid, *, window: str = "dyn",
 @functools.partial(jax.jit, static_argnames=("seg",))
 def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
                           seg: int = 4096):
-    """Device-resident encode as ONE fused program: stages + the word-sum
-    compaction (ops/compact.compact_bytes6_wordsum — sort-free,
-    gather-free, kernel-free placement). The fastest measured single-chip
-    structure (hardware r3): one program per frame, frames dispatched
-    back-to-back and synced with ONE combined fetch (the ~24-45 ms
-    'per-program floor' is almost entirely D2H fetch round-trip, so one
-    device_get per frame costs ~8x one combined fetch — PERF_NOTES.md).
-    Returns (buf (6*N,) uint8 valid in [0, total), total int32)."""
-    with profiling.annotate("qoi.encode.stage_chunks"):
-        chunks = encode_stage_chunks(px4, n_valid)
+    """Device-resident encode as ONE fused program: word-form staging
+    (form='words' — the classifier emits packed record words directly,
+    no (6, N) byte-plane materialization) + the word-sum compaction
+    (ops/compact — sort-free, gather-free, kernel-free placement). The
+    fastest measured single-chip structure (hardware r3): one program
+    per frame, frames dispatched back-to-back and synced with ONE
+    combined fetch (the ~24-45 ms 'per-program floor' is almost
+    entirely D2H fetch round-trip — PERF_NOTES.md).
+    Returns (words (6*N//4,) uint32 — the stream bytes little-endian,
+    numpy .view(uint8) on the host is free — and total int32)."""
+    with profiling.annotate("qoi.encode.stage_words"):
+        ch = encode_stage_chunks(px4, n_valid, form="words")
     with profiling.annotate("qoi.encode.compact"):
-        return compact.compact_bytes6_wordsum(
-            chunks.staging, chunks.lens, px4.shape[0] * 6, seg=seg)
+        return compact.compact_words6_wordsum(
+            ch.lo, ch.hi, ch.lens, px4.shape[0] * 6, seg=seg,
+            words_out=True)
 
 
 def bucket_size(n: int, floor: int = 256) -> int:

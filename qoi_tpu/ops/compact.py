@@ -149,21 +149,39 @@ def compact_bytes6_wordsum(
                              capacity=capacity, words_out=words_out)
 
 
+def compact_words6_wordsum(
+    lo: jnp.ndarray, hi: jnp.ndarray, lens: jnp.ndarray, capacity: int,
+    seg: int = 0, radix: int = 2, words_out: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Word-sum compaction from packed record words (the form='words'
+    staging of pipeline.encode_stage_chunks): lo (N,) uint32 = record
+    bytes 0..3 little-endian, hi (N,) uint32 = bytes 4..5, bytes at or
+    past lens[i] zero. Skips the byte-plane repack entirely."""
+    assert capacity % 4 == 0
+    ev = _wordsum_events_words(lo, hi, lens, seg)
+    return _wordsum_assemble(*_wordsum_slide(*ev[:2], radix=radix), *ev[2:],
+                             capacity=capacity, words_out=words_out)
+
+
 def _wordsum_events(staging6, lens, seg=0):
-    """Phase 1 of the word-sum compaction: per-record word contributions,
-    the N-length cumsums, and the 2-slots-per-pixel boundary-event list
-    in (nseg, 2*seg) row form. Returns (val, aux, cnt, wbase, total,
-    v_all)."""
+    """Phase 1 of the word-sum compaction from (6, N) byte planes: pack
+    to record words, then build the event list."""
     from ..kernels.pack import _record_words
 
-    k, n = staging6.shape
+    lo, hl = _record_words(staging6, lens)
+    return _wordsum_events_words(
+        lo.view(jnp.uint32), (hl & 0xFFFF).view(jnp.uint32), lens, seg)
+
+
+def _wordsum_events_words(lo_u, hi_u, lens, seg=0):
+    """Per-record word contributions, the N-length cumsums, and the
+    2-slots-per-pixel boundary-event list in (nseg, 2*seg) row form.
+    Returns (val, aux, cnt, wbase, total, v_all)."""
+    n = lens.shape[0]
     l = lens.astype(jnp.int32)
     off = exclusive_cumsum(l)
     total = (off[-1] + l[-1]).astype(jnp.int32) if n else jnp.int32(0)
 
-    lo, hl = _record_words(staging6, lens)
-    lo_u = lo.view(jnp.uint32)
-    hi_u = (hl & 0xFFFF).view(jnp.uint32)
     s = ((off & 3) << 3).astype(jnp.uint32)
     # c1/c2 vanish automatically for records that do not cross a word
     # (lo has < 32-s live bits, hi is 0 below len 5); l=0 records have

@@ -116,6 +116,41 @@ def test_compact_bytes6_wordsum(n, lens_kind):
         np.asarray(w).view(np.uint8)[: int(ta)], np.asarray(b)[: int(tb)])
 
 
+@pytest.mark.parametrize("case", ["mixed", "palette_alpha", "flat", "noise"])
+def test_stage_words_matches_bytes(case):
+    """form='words' staging must emit exactly the (lo, hi) record words
+    kernels/pack._record_words derives from the byte-plane staging, for
+    every chunk class (runs/flush, INDEX, DIFF, LUMA, RGB, RGBA), plus
+    an identical carry."""
+    from qoi_tpu.kernels import pack as kpack
+
+    w, h = 120, 50
+    img = {"mixed": lambda: testimages.mixed(w, h, 4),
+           "palette_alpha": lambda: testimages.palette_alpha(w, h),
+           "flat": lambda: testimages.flat(w, h, 4),
+           "noise": lambda: testimages.noise(w, h, 4)}[case]()
+    px4 = jnp.asarray(pipeline.force_rgba(img, fmt.StreamDesc(w, h, 4)))
+    cb = pipeline.encode_stage_chunks(px4, jnp.int32(w * h))
+    lo_b, hl_b = kpack._record_words(cb.staging, cb.lens)
+    cw = pipeline.encode_stage_chunks(px4, jnp.int32(w * h), form="words")
+    assert np.array_equal(np.asarray(cw.lens), np.asarray(cb.lens))
+    assert np.array_equal(np.asarray(cw.lo),
+                          np.asarray(lo_b).view(np.uint32))
+    assert np.array_equal(np.asarray(cw.hi),
+                          np.asarray(hl_b).view(np.uint32) & 0xFFFF)
+    for a, b in zip(cw.carry, cb.carry):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # end-to-end: the fused words program is byte-identical to the oracle
+    words, total = pipeline.encode_device_wordsum(
+        px4, jnp.int32(w * h), seg=1024)
+    stream = (fmt.pack_header(fmt.StreamDesc(w, h, 4))
+              + np.asarray(words).view(np.uint8)[: int(total)].tobytes()
+              + fmt.TRAILER)
+    assert stream == oracle.encode(
+        pipeline.force_rgba(img, fmt.StreamDesc(w, h, 4)).reshape(h, w, 4),
+        fmt.StreamDesc(w, h, 4))
+
+
 @pytest.mark.parametrize("n", [4096 * 3, 4096 * 2 + 100, 512])
 def test_compact_bytes6_both_tiers(n):
     """compact_bytes6's two-tier segment-sort path (n divisible by the

@@ -164,15 +164,30 @@ def cmd_encode(batch_frames: int = 8):
     # 12 of 1); wsnob = words_out u32 form (no final u32->u8 bitcast —
     # the known relayout trap) — still a VALID verified encode, the
     # host .view(uint8) is free.
+    # Hardware r3 fifth pass agenda: wsnob (no-bitcast) won pass 4 at
+    # 137 vs wsum 112.8 (the u32->u8 bitcast was ~13 ms/frame!);
+    # sttab8k == sttab (lax.map chunk not the issue). Now: wstages =
+    # form='words' staging ablation (classifier emits packed record
+    # words directly, no (6,N) byte planes — byte-form classify+staging
+    # was ~15.3 ms/frame); wsw = words staging + word-sum + words_out
+    # (the bench.py production program); wsw4 = + radix-4 slide.
     for name, seg, mode in (("stages", 0, "stages"),
-                            ("steq", 0, "steq"),
-                            ("strun", 0, "strun"),
-                            ("sttab", 0, "sttab"),
-                            ("sttab8k", 0, "sttab8k"),
-                            ("wsum", 4096, "wsum"),
-                            ("wsr4", 4096, "wsr4"),
-                            ("wsnob", 4096, "wsnob")):
+                            ("wstages", 0, "wstages"),
+                            ("wsnob", 4096, "wsnob"),
+                            ("wsw", 4096, "wsw"),
+                            ("wsw4", 4096, "wsw4")):
         def enc_body(p, s=seg, m=mode):
+            if m in ("wstages", "wsw", "wsw4"):
+                ch = pipeline.encode_stage_chunks(p, jnp.int32(n),
+                                                  form="words")
+                if m == "wstages":
+                    cs = (jnp.sum(ch.lo.view(jnp.int32))
+                          + jnp.sum(ch.hi.view(jnp.int32))
+                          + jnp.sum(ch.lens))
+                    return cs[None].astype(jnp.uint8), cs
+                return compact.compact_words6_wordsum(
+                    ch.lo, ch.hi, ch.lens, cap * 6, seg=s,
+                    radix=4 if m == "wsw4" else 2, words_out=True)
             if m in ("steq", "strun", "sttab", "sttab8k"):
                 from qoi_tpu.ops import scans, table
                 prev = jnp.concatenate(
@@ -318,7 +333,7 @@ def cmd_encode(batch_frames: int = 8):
 
         t0 = time.perf_counter()
         if mode in ("stages", "packprep", "packnoop", "wsev", "wsslide",
-                    "steq", "strun", "sttab", "sttab8k"):
+                    "steq", "strun", "sttab", "sttab8k", "wstages"):
             run()  # checksum program, nothing to verify
         else:
             verify(*run())
