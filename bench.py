@@ -139,8 +139,10 @@ def main() -> None:
     streams = [oracle.encode(f, desc) for f in dframes]
     streams_mixed = [oracle.encode(f, desc) for f in frames]
 
-    # one shape bucket for both classes => ONE compiled decode program
-    mcap = v1.bucket_size(
+    # one shape bucket for both classes => ONE compiled decode program;
+    # quarter-pow2 buckets: 4K streams are ~14 MB, the pow2 bucket
+    # (16.7M) pads 16% and every scan/expand pass pays it
+    mcap = v1.bucket_size_fine(
         max(len(s) for s in streams + streams_mixed) - fmt.HEADER_SIZE)
     npc = v1.bucket_size(n)
 

@@ -133,7 +133,7 @@ def decode_batch(
     for i, d in enumerate(parsed):
         if d is None:
             continue
-        cap = decode_pipeline.bucket_size(
+        cap = decode_pipeline.bucket_size_fine(
             len(streams[i]) - fmt.HEADER_SIZE)
         npc = decode_pipeline.bucket_size(d.num_pixels)
         groups[(cap, npc)].append(i)

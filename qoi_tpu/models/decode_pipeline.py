@@ -210,6 +210,25 @@ def bucket_size(n: int, floor: int = 256) -> int:
     return b
 
 
+def bucket_size_fine(n: int, floor: int = 256) -> int:
+    """Quarter-power-of-two bucket (2^k * {1, 1.25, 1.5, 1.75}): 4x the
+    compiled-shape count for <= 12.5% worst-case padding (pow2 wastes up
+    to 50%). Real 4K streams land ~14 MB -> the pow2 bucket (16.7M) pads
+    16% and every decode scan/expand pass pays it. Only used for sizes
+    >= 2^16 so every candidate is divisible by 2^13 (the decode scan
+    blocks need m % 2048 == 0); smaller sizes keep pow2 buckets."""
+    if n < (1 << 16):
+        return bucket_size(n, floor)
+    b = 1 << 16
+    while b < n:
+        b <<= 1
+    for frac in (4, 5, 6, 7):
+        cand = (b >> 3) * frac
+        if cand >= n:
+            return cand
+    return b
+
+
 def decode(data: bytes, channels: int = 0) -> Tuple[np.ndarray, fmt.StreamDesc]:
     """Decode a QOI stream via the parallel pipeline; pixel-identical to the
     reference decoder (qoi.h:488), including truncation tolerance and

@@ -596,7 +596,7 @@ def decode(data: bytes, channels: int = 0,
 
     chunks = np.frombuffer(data, dtype=np.uint8)[fmt.HEADER_SIZE:]
     chunks_len = len(data) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
-    cap = v1.bucket_size(len(chunks), floor)
+    cap = v1.bucket_size_fine(len(chunks), floor)
     padded = np.zeros((cap,), np.uint8)
     padded[: len(chunks)] = chunks
 

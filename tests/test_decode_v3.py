@@ -108,6 +108,30 @@ def test_v3_index_alpha_then_rgb_fixpoint():
     _roundtrip(px.reshape(1, 64, 4))
 
 
+def test_bucket_size_fine():
+    """Quarter-pow2 buckets: minimal candidate >= n, divisible by 2^13,
+    <= 12.5% padding; pow2 below 2^16."""
+    from qoi_tpu.models.decode_pipeline import bucket_size_fine
+
+    assert bucket_size_fine(1000) == 1024
+    assert bucket_size_fine(1 << 16) == 1 << 16
+    for n in (70000, 100001, (1 << 20) + 1, 14047085, 16777216, 16777217):
+        b = bucket_size_fine(n)
+        assert b >= n and b % (1 << 13) == 0
+        assert b <= n * 1.25 + (1 << 13)
+
+
+def test_v3_decode_fine_bucket_stream():
+    """Public decode through a quarter-pow2 stream bucket (stream >
+    2^16 bytes exercises the fine-bucket scan shapes: m = odd * 2^13)."""
+    img = testimages.noise(256, 160, 4)  # ~160 KB stream, incompressible
+    stream = oracle.encode(img, fmt.StreamDesc(256, 160, 4))
+    assert len(stream) > (1 << 16)
+    got, _ = decode_v3.decode(stream)
+    want, _ = oracle.decode(stream)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_v3_truncation_and_channel_forcing():
     img = testimages.mixed(40, 30, 4)
     full = oracle.encode(img, fmt.StreamDesc(40, 30, 4))

@@ -452,7 +452,7 @@ def cmd_decode(unique_streams: int = 8):
     b = unique_streams
     dframes = [testimages.photo(W, H, 4, seed=3 + i) for i in range(b)]
     streams = [oracle.encode(f, desc) for f in dframes]
-    mcap = v1.bucket_size(max(len(s) for s in streams) - fmt.HEADER_SIZE)
+    mcap = v1.bucket_size_fine(max(len(s) for s in streams) - fmt.HEADER_SIZE)
     npc = v1.bucket_size(n)
     bodies = np.zeros((b, mcap), np.uint8)
     clens = np.zeros((b,), np.int32)
