@@ -36,11 +36,67 @@ def _tile_step(px4, n_valid, contains_last, carry: pipeline.EncoderCarry):
     return buf, total, chunks.carry
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("t",))
+def _enc_tile_at(out_buf, px_all, cursor, off_px, n_total, carry, t: int):
+    """One device-driven encode tile: slice t pixels at off_px from the
+    device-resident image, encode with the incoming carry, and write the
+    tile's bytes into the big output buffer at the device byte cursor.
+
+    The write is the full (6t,) staging capacity: bytes past the tile's
+    `total` are garbage that the NEXT tile's write overwrites (its cursor
+    advances by exactly `total`), and the final fetch stops at the last
+    cursor — so no host sync is ever needed between tiles."""
+    px4 = jax.lax.dynamic_slice(px_all, (off_px, 0), (t, 4))
+    n_valid = jnp.clip(n_total - off_px, 0, t)
+    contains_last = n_total <= off_px + t
+    ch = pipeline.encode_stage_chunks(
+        px4, n_valid,
+        prev_in=carry.prev_px, run_in=carry.run,
+        table_in=(carry.table, carry.written),
+        contains_last=contains_last, form="words")
+    buf, total = compact.compact_words6_wordsum(
+        ch.lo, ch.hi, ch.lens, t * 6, seg=min(t, 4096))
+    out_buf = jax.lax.dynamic_update_slice(out_buf, buf, (cursor,))
+    return out_buf, cursor + total, ch.carry
+
+
+#: fixed fetch-piece size for the final sliced D2H copy: one compiled
+#: slice program reused for every piece (a per-image python-int slice
+#: would compile a fresh program per distinct stream size)
+_FETCH_PIECE = 1 << 22
+
+
+def _fetch_bytes(buf, total: int) -> bytes:
+    """Fetch buf[:total] from the device in fixed-shape pieces (one
+    compiled slice program reused for every piece)."""
+    p = min(_FETCH_PIECE, buf.shape[0])
+    piece = jax.jit(functools.partial(
+        lambda b, o, p: jax.lax.dynamic_slice(b, (o,), (p,)), p=p))
+    out = []
+    for off in range(0, total, p):
+        # dynamic_slice clamps the start so the last piece reads a
+        # window ending exactly at the buffer end; compensate on host
+        start = min(off, buf.shape[0] - p)
+        raw = np.asarray(jax.device_get(piece(buf, jnp.int32(start))))
+        out.append(raw[off - start: off - start + min(p, total - off)])
+    return b"".join(x.tobytes() for x in out)
+
+
 def encode(pixels: np.ndarray, desc: fmt.StreamDesc,
            tile_px: int = 0, config=None) -> bytes:
-    """Encode one image of any size the format allows; byte-identical to the
-    reference encoder (qoi.h:356). Device memory stays O(tile_px); the tile
-    size comes from `tile_px` if nonzero, else `config.stream_tile_px`."""
+    """Encode one image of any size the format allows; byte-identical to
+    the reference encoder (qoi.h:356). Device memory stays O(image +
+    6*tile); the tile size comes from `tile_px` if nonzero, else
+    `config.stream_tile_px`.
+
+    Device-driven tile loop (round 3): the pixels upload ONCE, each tile
+    is sliced on device, the four encoder carries AND the output byte
+    cursor stay device-resident, and every tile's bytes land in one big
+    device buffer — the host dispatches all tile programs back-to-back
+    with ZERO per-tile syncs, then fetches the cursor once and the
+    stream bytes in fixed-shape pieces. (The round-2 loop synced
+    consumed/total per tile: 2 fetch RTTs + a 25 MB over-fetch per tile,
+    PERF_NOTES.md.)"""
     if not tile_px:
         tile_px = config.stream_tile_px if config else 1 << 22
     desc.validate()
@@ -49,20 +105,19 @@ def encode(pixels: np.ndarray, desc: fmt.StreamDesc,
     t = min(tile_px, pipeline.bucket_size(n))
     n_tiles = -(-n // t)
 
+    pad = np.zeros((n_tiles * t - n, 4), np.uint8)
+    px_all = jax.device_put(jnp.asarray(np.concatenate([px4, pad])))
+    # output capacity: 6 bytes/px worst case for the whole image, plus
+    # one tile's slack so the last tile's full-capacity write fits
+    out_buf = jnp.zeros((n_tiles * t * 6 + 6 * t,), jnp.uint8)
     carry = pipeline.EncoderCarry.seed()
-    parts = []
+    cursor = jnp.int32(0)
     for k in range(n_tiles):
-        lo = k * t
-        chunk = px4[lo: lo + t]
-        n_valid = chunk.shape[0]
-        if n_valid < t:
-            chunk = np.concatenate(
-                [chunk, np.zeros((t - n_valid, 4), np.uint8)])
-        buf, total, carry = _tile_step(
-            jnp.asarray(chunk), jnp.int32(n_valid),
-            jnp.bool_(k == n_tiles - 1), carry)
-        parts.append(np.asarray(jax.device_get(buf))[: int(jax.device_get(total))])
-    return fmt.pack_header(desc) + b"".join(p.tobytes() for p in parts) + fmt.TRAILER
+        out_buf, cursor, carry = _enc_tile_at(
+            out_buf, px_all, cursor, jnp.int32(k * t), jnp.int32(n),
+            carry, t)
+    total = int(jax.device_get(cursor))  # the ONE sync
+    return fmt.pack_header(desc) + _fetch_bytes(out_buf, total) + fmt.TRAILER
 
 
 # ---------------------------------------------------------------------------
@@ -125,16 +180,104 @@ def _pack65(px: np.ndarray, table: np.ndarray) -> np.ndarray:
         np.uint32).reshape(65)
 
 
+_PX_BUDGET_MIN = 64  # progress guarantee: one chunk yields <= 62 px
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=(
+    "t", "p_budget", "max_rounds", "use_kernel"))
+def _dec_tile_at(plane_all, data_all, cursor, px_cursor, chunks_len,
+                 entry65, t: int, p_budget: int, max_rounds: int,
+                 use_kernel: bool):
+    """One device-driven decode tile: slice t bytes at the device byte
+    cursor, end the tile at the last chunk boundary within BOTH the byte
+    window (t - 8) and the pixel budget, decode + expand, and write the
+    tile's pixels into the big plane at the device pixel cursor.
+
+    The plane write is the full static (p_budget,) capacity: pixels past
+    the tile's n_px_tile are repeat-px garbage that the NEXT tile's
+    write overwrites (its pixel cursor advances by exactly n_px_tile).
+    Returns (plane_all, conv, cursor', px_cursor', exit65) — all device;
+    the host never syncs between tiles."""
+    from ..kernels import expand as kexpand
+    from ..ops import fsm, scans
+    from . import decode_v3 as v3
+
+    data_t = jax.lax.dynamic_slice(data_all, (cursor,), (t,))
+    lim = jnp.clip(chunks_len - cursor, 0, t)
+    starts, state_before = fsm.chunk_starts_and_state(data_t, lim)
+
+    # pixels per chunk (RUN emits (b&63)+1, everything else 1)
+    b0 = data_t.astype(jnp.int32)
+    is_run = ((b0 & fmt.MASK_2) == fmt.OP_RUN) & (b0 < fmt.OP_RGB)
+    npix_b = jnp.where(starts, jnp.where(is_run, (b0 & 63) + 1, 1), 0)
+    pixexc = scans.exclusive_cumsum(npix_b)
+
+    # byte-window boundary: the chunk boundary at/after t - 8 (the FSM
+    # state there counts the straddling chunk's remaining bytes <= 4)
+    spill = state_before[t - _LOOKBEHIND].astype(jnp.int32)
+    cons_b = jnp.minimum(t - _LOOKBEHIND + spill, lim)
+    # tile end = last chunk boundary within BOTH the byte window and the
+    # pixel budget; the stream end (lim) is a boundary too, taken only
+    # when its pixel total also fits (n_px_tile <= p_budget must hold —
+    # the expand plane is a static (p_budget,))
+    io = jnp.arange(t, dtype=jnp.int32)
+    ok = ((state_before == 0) & (io <= cons_b) & (pixexc <= p_budget)
+          & (io <= lim))
+    consumed = jnp.max(jnp.where(ok, io, 0))
+    tot_pix = pixexc[-1] + npix_b[-1]  # pixels in [0, lim)
+    end_ok = (lim <= cons_b) & (tot_pix <= p_budget)
+    consumed = jnp.where(end_ok, lim, consumed)
+
+    px, _, npix, pix_off, conv, _, exit65 = v3._decode_core(
+        data_t, consumed, max_rounds, entry65)
+    n_px_tile = pix_off[-1] + npix[-1]
+    conv = conv | (consumed == 0)  # empty tail tiles are trivially done
+
+    if use_kernel:
+        plane_t = kexpand.expand_px(pix_off, px, p_budget,
+                                    seed32=entry65[0])
+    else:
+        plane_t = kexpand.expand_px_xla(pix_off, px, p_budget,
+                                        seed32=entry65[0])
+    plane_all = jax.lax.dynamic_update_slice(plane_all, plane_t,
+                                             (px_cursor,))
+    return (plane_all, conv, cursor + consumed, px_cursor + n_px_tile,
+            exit65)
+
+
+def _fetch_words(buf, total: int) -> np.ndarray:
+    """Fetch buf[:total] (u32) from the device in fixed-shape pieces."""
+    p = min(_FETCH_PIECE, buf.shape[0])
+    piece = jax.jit(functools.partial(
+        lambda b, o, p: jax.lax.dynamic_slice(b, (o,), (p,)), p=p))
+    out = []
+    for off in range(0, total, p):
+        start = min(off, buf.shape[0] - p)
+        raw = np.asarray(jax.device_get(piece(buf, jnp.int32(start))))
+        out.append(raw[off - start: off - start + min(p, total - off)])
+    return (np.concatenate(out) if out
+            else np.zeros((0,), buf.dtype))
+
+
 def decode(data: bytes, channels: int = 0, tile_bytes: int = 0,
            max_rounds: int = 0, config=None
            ) -> Tuple[np.ndarray, fmt.StreamDesc]:
     """Decode a stream of any size the format allows; pixel-identical to
     the reference decoder (qoi.h:488), including truncation tolerance and
-    channel forcing. Device memory stays O(tile_bytes + tile pixels); tile
-    size and fixpoint cap come from `config` (stream_tile_px /
-    decode_max_iters) unless given explicitly."""
+    channel forcing.
+
+    Device-driven tile loop (round 3): the stream uploads ONCE, each
+    tile is sliced on device at a DEVICE-RESIDENT byte cursor (tiles end
+    at the last chunk boundary inside both the byte window and a pixel
+    budget, so the expanded plane per tile has a static shape), pixels
+    land in one big device plane, and the host dispatches every tile
+    optimistically with ZERO per-tile syncs — one combined fetch of the
+    per-tile convergence flags at the end. Tiles that did not converge
+    (non-canonical streams) are repaired from the first bad tile by the
+    host-driven ladder loop (`_decode_host_from`). (The round-2 loop
+    synced consumed/conv/n_px per tile: 3 fetch RTTs + a full-capacity
+    plane fetch per tile, PERF_NOTES.md.)"""
     from . import decode_pipeline as v1
-    from . import scan_codec
 
     if not tile_bytes:
         tile_bytes = config.stream_tile_px if config else 1 << 22
@@ -149,17 +292,77 @@ def decode(data: bytes, channels: int = 0, tile_bytes: int = 0,
     chunks = np.frombuffer(data, dtype=np.uint8)[fmt.HEADER_SIZE:]
     chunks_len = len(data) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
     t = max(1024, tile_bytes)
-
+    p_budget = max(t, _PX_BUDGET_MIN)
     use_kernel = jax.devices()[0].platform == "tpu"
+
     entry65 = np.zeros((65,), np.uint32)
     entry65[0] = np.uint32(
         fmt.SEED_PIXEL[0] | fmt.SEED_PIXEL[1] << 8
         | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24)
     entry_dev = jnp.asarray(entry65)
 
-    cursor = 0
+    # upper bound on tiles: each is byte-bound (~t-8 bytes) or pixel-
+    # bound (> p_budget - 62 px); +2 covers the trailing partial tile
+    n_tiles = (max(chunks_len, 0) // max(t - _LOOKBEHIND, 1)
+               + n_px // max(p_budget - 62, 1) + 2)
+    data_all = np.zeros((chunks_len + t,), np.uint8)
+    m = min(len(chunks), data_all.shape[0])
+    data_all[:m] = chunks[:m]
+    data_dev = jax.device_put(jnp.asarray(data_all))
+    plane_cap = v1.bucket_size(max(n_px, 1)) + p_budget
+    plane = jnp.zeros((plane_cap,), jnp.uint32)
+
+    cursor = jnp.int32(0)
+    px_cursor = jnp.int32(0)
+    entries = []   # per-tile entry state + cursors (device, for repair)
+    convs = []
+    for _ in range(n_tiles):
+        entries.append((cursor, px_cursor, entry_dev))
+        plane, conv, cursor, px_cursor, entry_dev = _dec_tile_at(
+            plane, data_dev, cursor, px_cursor, jnp.int32(chunks_len),
+            entry_dev, t, p_budget, max_rounds, use_kernel)
+        convs.append(conv)
+
+    combined = jax.jit(lambda c, pc: (jnp.stack(c), pc))
+    convs_h, px_total = jax.device_get(combined(convs, px_cursor))
+    convs_h = np.asarray(convs_h)
+    px_total = int(px_total)
+
+    if convs_h.all():
+        flat32 = _fetch_words(plane, min(px_total, n_px))
+        fill_from = entry_dev
+    else:
+        bad = int(np.argmin(convs_h))
+        c0, p0, e0 = entries[bad]
+        c0 = int(jax.device_get(c0))
+        p0 = int(jax.device_get(p0))
+        flat32 = _fetch_words(plane, min(p0, n_px))
+        parts, fill_from = _decode_host_from(
+            chunks, chunks_len, c0, p0, e0, n_px, t, max_rounds,
+            use_kernel)
+        if parts:
+            flat32 = np.concatenate([flat32] + parts)[:n_px]
+    if flat32.shape[0] < n_px:  # truncated stream: repeat the current px
+        fill = np.asarray(jax.device_get(fill_from))[0]
+        flat32 = np.concatenate([
+            flat32, np.full((n_px - flat32.shape[0],), np.uint32(fill))])
+    px4 = np.ascontiguousarray(flat32[:n_px]).view(np.uint8).reshape(-1, 4)
+    img = px4[:, :out_ch].reshape(desc.height, desc.width, out_ch)
+    return img, desc
+
+
+def _decode_host_from(chunks, chunks_len, cursor: int, px_cursor: int,
+                      entry_dev, n_px: int, t: int, max_rounds: int,
+                      use_kernel: bool):
+    """Host-driven tile loop (the round-2 structure): per-tile
+    consumed/conv syncs + the tile-local ladder fallback. Used as the
+    repair path when the optimistic device-driven loop hits a
+    non-converging (non-canonical) tile. Returns (list of (n,) uint32
+    plane parts from px_cursor on, final entry state device array)."""
+    from . import decode_pipeline as v1
+    from . import scan_codec
+
     parts: list = []
-    px_cursor = 0
     while cursor < chunks_len and px_cursor < n_px:
         buf = np.zeros((t,), np.uint8)
         span = chunks[cursor: cursor + t]
@@ -196,12 +399,4 @@ def decode(data: bytes, channels: int = 0, tile_bytes: int = 0,
         cursor += max(consumed, 1)
         px_cursor += n_out
 
-    flat32 = (np.concatenate(parts) if parts
-              else np.zeros((0,), np.uint32))
-    if px_cursor < n_px:  # truncated stream: repeat the current px
-        fill = np.asarray(jax.device_get(entry_dev))[0]
-        flat32 = np.concatenate([
-            flat32, np.full((n_px - px_cursor,), np.uint32(fill))])
-    px4 = np.ascontiguousarray(flat32).view(np.uint8).reshape(-1, 4)
-    img = px4[:n_px, :out_ch].reshape(desc.height, desc.width, out_ch)
-    return img, desc
+    return parts, entry_dev

@@ -171,15 +171,20 @@ def cmd_encode(batch_frames: int = 8):
     # words directly, no (6,N) byte planes — byte-form classify+staging
     # was ~15.3 ms/frame); wsw = words staging + word-sum + words_out
     # (the bench.py production program); wsw4 = + radix-4 slide.
-    for name, seg, mode in (("stages", 0, "stages"),
-                            ("wstages", 0, "wstages"),
-                            ("wsnob", 4096, "wsnob"),
-                            ("wsw", 4096, "wsw"),
-                            ("wsw4", 4096, "wsw4")):
+    # Pass 6: table-replay block-width sweep under the production wsw
+    # structure (the brute in-block masks are (nb, B, B) int8 — B=32
+    # halves the all-pairs work, doubles the cross-block summary work).
+    for name, seg, mode in (("wsw", 4096, "wsw"),
+                            ("wswtb32", 4096, "wsw:32"),
+                            ("wswtb32s", 4096, "wsw:32"),
+                            ("wstages", 0, "wstages")):
         def enc_body(p, s=seg, m=mode):
-            if m in ("wstages", "wsw", "wsw4"):
+            if m.startswith("wstages") or m.startswith("wsw"):
+                tb = int(m.split(":")[1]) if ":" in m else 64
+                m = m.split(":")[0]
                 ch = pipeline.encode_stage_chunks(p, jnp.int32(n),
-                                                  form="words")
+                                                  form="words",
+                                                  table_block=tb)
                 if m == "wstages":
                     cs = (jnp.sum(ch.lo.view(jnp.int32))
                           + jnp.sum(ch.hi.view(jnp.int32))
