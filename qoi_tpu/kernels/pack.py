@@ -143,7 +143,12 @@ def _make_pack_kernel(tile: int, sub: int, dyn: bool = False):
                     # dynamic trip count over 8-row groups: typical
                     # content (~2 B/record) spans ~4 rows per subtile vs
                     # the worst-case-sized static window (frows); the
-                    # slack is paid only by content that needs it
+                    # slack is paid only by content that needs it.
+                    # (Known slack: tail len-0 records all share
+                    # wp = total>>2, so subtiles near the stream end
+                    # count every tail row in cnte and accumulate zeros
+                    # for up to ngmax groups — bounded, final-tile-only,
+                    # measured negligible.)
                     ce = jnp.sum(jnp.where(lane == s, cnte, 0))
                     g0 = jnp.clip((cnt - 2) >> 3, 0, ngmax - 1)
                     ng = jnp.clip((ce - g0 * 8 + 7) >> 3, 1, ngmax - g0)
