@@ -152,14 +152,27 @@ def compact_bytes6_wordsum(
 def compact_words6_wordsum(
     lo: jnp.ndarray, hi: jnp.ndarray, lens: jnp.ndarray, capacity: int,
     seg: int = 0, radix: int = 2, words_out: bool = False,
+    sub_rows: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Word-sum compaction from packed record words (the form='words'
     staging of pipeline.encode_stage_chunks): lo (N,) uint32 = record
     bytes 0..3 little-endian, hi (N,) uint32 = bytes 4..5, bytes at or
-    past lens[i] zero. Skips the byte-plane repack entirely."""
+    past lens[i] zero. Skips the byte-plane repack entirely.
+    `sub_rows` switches to subrow-relative slide distances: only
+    log2(sub_rows) passes (vs log2(2*seg)) and a subrow-granular
+    assemble scatter."""
     assert capacity % 4 == 0
-    ev = _wordsum_events_words(lo, hi, lens, seg)
-    return _wordsum_assemble(*_wordsum_slide(*ev[:2], radix=radix), *ev[2:],
+    n = lens.shape[0]
+    s_eff = seg or _COMPACT_SEG
+    if n % s_eff or n < s_eff:
+        s_eff = n
+    if sub_rows and (2 * s_eff) % sub_rows:
+        sub_rows = 0  # tiny/ragged inputs: plain segment-wide distances
+    ev = _wordsum_events_words(lo, hi, lens, seg, sub_rows=sub_rows)
+    val, aux = _wordsum_slide(ev[0], ev[1], radix=radix, dist_cap=sub_rows)
+    if sub_rows:
+        val = val.reshape(val.size // sub_rows, sub_rows)
+    return _wordsum_assemble(val, aux, *ev[2:],
                              capacity=capacity, words_out=words_out)
 
 
@@ -173,10 +186,12 @@ def _wordsum_events(staging6, lens, seg=0):
         lo.view(jnp.uint32), (hl & 0xFFFF).view(jnp.uint32), lens, seg)
 
 
-def _wordsum_events_words(lo_u, hi_u, lens, seg=0):
+def _wordsum_events_words(lo_u, hi_u, lens, seg=0, sub_rows=0):
     """Per-record word contributions, the N-length cumsums, and the
     2-slots-per-pixel boundary-event list in (nseg, 2*seg) row form.
-    Returns (val, aux, cnt, wbase, total, v_all)."""
+    Returns (val, aux, cnt, wbase, total, v_all). `sub_rows` switches
+    distances/counts/bases to sub_rows-slot subrow granularity (the
+    slide then needs only log2(sub_rows) passes)."""
     n = lens.shape[0]
     l = lens.astype(jnp.int32)
     off = exclusive_cumsum(l)
@@ -216,6 +231,29 @@ def _wordsum_events_words(lo_u, hi_u, lens, seg=0):
     alive = rows2(ev0.astype(jnp.int32), ev1.astype(jnp.int32))
     dest = rows2(w0, w0 + 1)
 
+    if sub_rows:
+        # subrow-relative distances: an event's dense target within its
+        # own sub_rows-slot subrow is always <= its slot index (events
+        # before it can't outnumber slots before it), so every partial
+        # move stays inside the subrow and d < sub_rows by construction
+        # — the slide needs only log2(sub_rows) passes (still run in the
+        # WIDE (nseg, sw) shape; tall-skinny pass shapes are
+        # catastrophic, PERF_NOTES narrow-seg sweep). cnt/base are at
+        # subrow granularity; the assemble scatter takes (nsub,
+        # sub_rows) rows unchanged.
+        r = sub_rows
+        assert sw % r == 0
+        nsub = nseg * sw // r
+        a_r = alive.reshape(nsub, r)
+        cnt = jnp.sum(a_r, axis=1)
+        base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (nsub, r), 1)
+        d = jnp.where(a_r != 0,
+                      iota_r - (dest.reshape(nsub, r) - base[:, None]), 0)
+        aux = (a_r | (d << 1)).reshape(nseg, sw)
+        return val, aux, cnt, base, total, v_all
+
     # word index of each segment's first event = events before it
     cnt = jnp.sum(alive, axis=1)
     wbase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -226,7 +264,7 @@ def _wordsum_events_words(lo_u, hi_u, lens, seg=0):
     return val, aux, cnt, wbase, total, v_all
 
 
-def _wordsum_slide(val, aux, radix: int = 2):
+def _wordsum_slide(val, aux, radix: int = 2, dist_cap: int = 0):
     """Phase 2: slide events to their within-segment word positions by
     the digits of their distance, LSB-first — injective for the same
     reason as kernels/pack._densify_shift (destinations strictly
@@ -234,6 +272,7 @@ def _wordsum_slide(val, aux, radix: int = 2):
     radix=4 halves the pass count (two distance bits per pass, three
     shifted candidate reads + a 4-way select)."""
     nseg, sw = val.shape
+    cap = dist_cap or sw
 
     def shift_rows(x, j):
         j = min(j, sw)  # radix-4's 3q step can exceed the row width
@@ -242,7 +281,7 @@ def _wordsum_slide(val, aux, radix: int = 2):
 
     if radix == 4:
         q, lg = 1, 0
-        while q < sw:
+        while q < cap:
             fld = lambda a: ((a >> (1 + lg)) & 3) * (a & 1)
             here = fld(aux)
             v1, a1 = shift_rows(val, q), shift_rows(aux, q)
@@ -258,7 +297,7 @@ def _wordsum_slide(val, aux, radix: int = 2):
         return val, aux
 
     bit = 1
-    while bit < sw:
+    while bit < cap:
         val_s = shift_rows(val, bit)
         aux_s = shift_rows(aux, bit)
         dbit = jnp.int32(bit << 1)

@@ -114,6 +114,17 @@ def test_compact_bytes6_wordsum(n, lens_kind):
     assert int(tw) == int(ta)
     assert np.array_equal(
         np.asarray(w).view(np.uint8)[: int(ta)], np.asarray(b)[: int(tb)])
+    # subrow-relative slide (log2(sub_rows) passes + subrow scatter)
+    from qoi_tpu.kernels.pack import _record_words
+
+    lo, hl = _record_words(jnp.asarray(staging.T.copy()), jnp.asarray(lens))
+    for r in (128, 512):
+        sr, tr = compact.compact_words6_wordsum(
+            lo.view(jnp.uint32), (hl & 0xFFFF).view(jnp.uint32),
+            jnp.asarray(lens), cap, sub_rows=r)
+        assert int(tr) == int(ta)
+        assert np.array_equal(np.asarray(sr)[: int(ta)],
+                              np.asarray(b)[: int(tb)])
 
 
 @pytest.mark.parametrize("case", ["mixed", "palette_alpha", "flat", "noise"])

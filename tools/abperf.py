@@ -171,17 +171,20 @@ def cmd_encode(batch_frames: int = 8):
     # words directly, no (6,N) byte planes — byte-form classify+staging
     # was ~15.3 ms/frame); wsw = words staging + word-sum + words_out
     # (the bench.py production program); wsw4 = + radix-4 slide.
-    # Pass 6: table-replay block-width sweep under the production wsw
-    # structure (the brute in-block masks are (nb, B, B) int8 — B=32
-    # halves the all-pairs work, doubles the cross-block summary work).
+    # Pass 6 (rev): sub_rows = subrow-relative slide distances — 7
+    # passes at sub_rows=128 (9 at 512) instead of 13 at segment width,
+    # same wide pass shapes, subrow-granular assemble scatter. (The
+    # table_block=32 variant STALLED the remote compiler >30 min on its
+    # fresh shapes — parked; see PERF_NOTES stuck-compile hazard.)
     for name, seg, mode in (("wsw", 4096, "wsw"),
-                            ("wswtb32", 4096, "wsw:32"),
-                            ("wswtb32s", 4096, "wsw:32"),
+                            ("wswsr128", 4096, "wsw@128"),
+                            ("wswsr512", 4096, "wsw@512"),
                             ("wstages", 0, "wstages")):
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
                 tb = int(m.split(":")[1]) if ":" in m else 64
-                m = m.split(":")[0]
+                sr = int(m.split("@")[1]) if "@" in m else 0
+                m = m.split(":")[0].split("@")[0]
                 ch = pipeline.encode_stage_chunks(p, jnp.int32(n),
                                                   form="words",
                                                   table_block=tb)
@@ -192,7 +195,8 @@ def cmd_encode(batch_frames: int = 8):
                     return cs[None].astype(jnp.uint8), cs
                 return compact.compact_words6_wordsum(
                     ch.lo, ch.hi, ch.lens, cap * 6, seg=s,
-                    radix=4 if m == "wsw4" else 2, words_out=True)
+                    radix=4 if m == "wsw4" else 2, words_out=True,
+                    sub_rows=sr)
             if m in ("steq", "strun", "sttab", "sttab8k"):
                 from qoi_tpu.ops import scans, table
                 prev = jnp.concatenate(
