@@ -301,9 +301,10 @@ def encode_device_pack(px4, n_valid, *, window: str = "dyn",
                                interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("seg",))
+@functools.partial(jax.jit, static_argnames=("seg", "table_block"))
 def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
-                          seg: int = 4096):
+                          seg: int = 4096,
+                          table_block: int = table._BLOCK):
     """Device-resident encode as ONE fused program: word-form staging
     (form='words' — the classifier emits packed record words directly,
     no (6, N) byte-plane materialization) + the word-sum compaction
@@ -315,7 +316,8 @@ def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
     Returns (words (6*N//4,) uint32 — the stream bytes little-endian,
     numpy .view(uint8) on the host is free — and total int32)."""
     with profiling.annotate("qoi.encode.stage_words"):
-        ch = encode_stage_chunks(px4, n_valid, form="words")
+        ch = encode_stage_chunks(px4, n_valid, form="words",
+                                 table_block=table_block)
     with profiling.annotate("qoi.encode.compact"):
         return compact.compact_words6_wordsum(
             ch.lo, ch.hi, ch.lens, px4.shape[0] * 6, seg=seg,
@@ -346,7 +348,13 @@ def force_rgba(pixels: np.ndarray, desc: fmt.StreamDesc) -> np.ndarray:
 def encode(pixels: np.ndarray, desc: fmt.StreamDesc, config=None) -> bytes:
     """Encode one image through the parallel pipeline; byte-identical to the
     reference encoder (qoi.h:356). `config` (an EngineConfig) tunes the
-    shape-bucketing floor and the table-replay block width."""
+    shape-bucketing floor and the table-replay block width.
+
+    Uses the flagship fused word-sum program (what bench.py times) and
+    fetches only the stream's words in fixed-shape pieces — the old path
+    pulled the full 6n-byte capacity through the ~3 MB/s host link."""
+    from ..utils import fetch
+
     desc.validate()
     px4 = force_rgba(pixels, desc)
     n = px4.shape[0]
@@ -354,6 +362,8 @@ def encode(pixels: np.ndarray, desc: fmt.StreamDesc, config=None) -> bytes:
     tb = config.table_block if config else table._BLOCK
     padded = np.zeros((bucket_size(n, floor), 4), np.uint8)
     padded[:n] = px4
-    buf, total = encode_device_split(jnp.asarray(padded), jnp.int32(n), tb)
-    body = np.asarray(jax.device_get(buf))[: int(jax.device_get(total))]
+    words, total = encode_device_wordsum(
+        jnp.asarray(padded), jnp.int32(n), table_block=tb)
+    total = int(jax.device_get(total))
+    body = fetch.fetch_prefix(words, -(-total // 4)).view(np.uint8)[:total]
     return fmt.pack_header(desc) + body.tobytes() + fmt.TRAILER

@@ -60,26 +60,11 @@ def _enc_tile_at(out_buf, px_all, cursor, off_px, n_total, carry, t: int):
     return out_buf, cursor + total, ch.carry
 
 
-#: fixed fetch-piece size for the final sliced D2H copy: one compiled
-#: slice program reused for every piece (a per-image python-int slice
-#: would compile a fresh program per distinct stream size)
-_FETCH_PIECE = 1 << 22
-
-
 def _fetch_bytes(buf, total: int) -> bytes:
-    """Fetch buf[:total] from the device in fixed-shape pieces (one
-    compiled slice program reused for every piece)."""
-    p = min(_FETCH_PIECE, buf.shape[0])
-    piece = jax.jit(functools.partial(
-        lambda b, o, p: jax.lax.dynamic_slice(b, (o,), (p,)), p=p))
-    out = []
-    for off in range(0, total, p):
-        # dynamic_slice clamps the start so the last piece reads a
-        # window ending exactly at the buffer end; compensate on host
-        start = min(off, buf.shape[0] - p)
-        raw = np.asarray(jax.device_get(piece(buf, jnp.int32(start))))
-        out.append(raw[off - start: off - start + min(p, total - off)])
-    return b"".join(x.tobytes() for x in out)
+    """Fetch buf[:total] from the device in fixed-shape pieces."""
+    from ..utils import fetch
+
+    return fetch.fetch_prefix(buf, total).tobytes()
 
 
 def encode(pixels: np.ndarray, desc: fmt.StreamDesc,
@@ -247,16 +232,9 @@ def _dec_tile_at(plane_all, data_all, cursor, px_cursor, chunks_len,
 
 def _fetch_words(buf, total: int) -> np.ndarray:
     """Fetch buf[:total] (u32) from the device in fixed-shape pieces."""
-    p = min(_FETCH_PIECE, buf.shape[0])
-    piece = jax.jit(functools.partial(
-        lambda b, o, p: jax.lax.dynamic_slice(b, (o,), (p,)), p=p))
-    out = []
-    for off in range(0, total, p):
-        start = min(off, buf.shape[0] - p)
-        raw = np.asarray(jax.device_get(piece(buf, jnp.int32(start))))
-        out.append(raw[off - start: off - start + min(p, total - off)])
-    return (np.concatenate(out) if out
-            else np.zeros((0,), buf.dtype))
+    from ..utils import fetch
+
+    return fetch.fetch_prefix(buf, total)
 
 
 def decode(data: bytes, channels: int = 0, tile_bytes: int = 0,

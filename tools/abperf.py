@@ -505,18 +505,21 @@ def cmd_decode(unique_streams: int = 8):
         accum="wide"))
     bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
-    # expand-tile sweep: standalone the kernel is accumulate-bound and
-    # tile-size insensitive, but batched every lane's tiles are separate
-    # grid steps — bigger tiles cut the step count b*npc/tile 2-4x
-    for etile in (2048, 4096):
-        v3._EXPAND_TILE = etile
+    # batch 32: one more halving of the per-program share (b32 == b16
+    # in the r2 pow2-bucket sweeps; retest under fine buckets)
+    bench("b32 flat wide", lambda d, c: f16w(d, c), dup(db, 4), dup(dc, 4))
+
+    # resolve scan-cap sweep: B=2048 won the r2 pow2 sweeps (512/1024
+    # clearly worse); fine buckets changed nb = m/B, so retest upward
+    for bcap in (4096,):
+        v3._SCAN_B_MAX = bcap
         jax.clear_caches()
-        fe = jax.jit(functools.partial(
+        fb = jax.jit(functools.partial(
             v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
             accum="wide"))
-        bench(f"b16 wide etile={etile}", lambda d, c, f=fe: f(d, c),
+        bench(f"b16 wide B={bcap}", lambda d, c, f=fb: f(d, c),
               dup(db, 2), dup(dc, 2))
-    v3._EXPAND_TILE = 1024
+    v3._SCAN_B_MAX = 2048
     jax.clear_caches()
 
 
