@@ -49,6 +49,7 @@ def main() -> None:
     from qoi_tpu.models import pipeline
     from qoi_tpu.utils import profiling, testimages
 
+    profiling.enable_compile_cache()  # env vars alone are swallowed here
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
 

@@ -247,6 +247,8 @@ def main(argv=None) -> int:
     opts = ap.parse_args(argv)
     if opts.runs < 1:
         ap.error("runs must be >= 1")
+    from .utils import profiling
+    profiling.enable_compile_cache()  # env vars alone are swallowed here
     if opts.scaling:
         return scaling_sweep(opts)
 

@@ -34,6 +34,8 @@ def main(argv=None) -> int:
                     default=cfg.DEFAULT.bucket_floor, metavar="N",
                     help="shape-bucketing floor (compiled-shape granularity)")
     args = ap.parse_args(argv)
+    from .utils import profiling
+    profiling.enable_compile_cache()  # env vars alone are swallowed here
     config = cfg.EngineConfig(
         engine=args.engine, verify=args.verify,
         decode_max_iters=args.max_rounds, bucket_floor=args.bucket_floor)

@@ -38,6 +38,20 @@ def annotate(name: str):
     return jax.named_scope(name)
 
 
+def enable_compile_cache(path: str = "/root/.cache/jax",
+                         min_secs: float = 0.5) -> None:
+    """Enable the persistent XLA compile cache via jax.config.
+
+    CRITICAL on this platform: the JAX_COMPILATION_CACHE_DIR env var is
+    swallowed by the environment's sitecustomize, so env-var-only setup
+    (what bench/abperf did through round 3) never cached ANYTHING — every
+    process re-paid every remote compile. Only `jax.config.update` takes
+    effect (hardware-verified: env-only leaves the cache dir untouched,
+    config.update writes entries). PERF_NOTES.md round-3."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
+
+
 def device_sync_time(fn: Callable[[], jax.Array], reps: int = 5) -> float:
     """Best-of-reps seconds for `fn`, forcing a host fetch per rep."""
     import numpy as np

@@ -21,3 +21,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the env vars above are swallowed by sitecustomize; only jax.config
+# actually enables the persistent compile cache (PERF_NOTES round-3)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -589,6 +589,9 @@ def main():
         _EXPAND_M = 1 << 17
         globals()['_MINI'] = True
     import jax
+
+    from qoi_tpu.utils import profiling
+    profiling.enable_compile_cache()  # env vars alone are swallowed here
     log(f"device: {jax.devices()[0]}")
     {"encode": cmd_encode, "decode": cmd_decode, "pack": cmd_pack,
      "expand": cmd_expand}[args.what]()

@@ -43,6 +43,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from qoi_tpu.utils import profiling
+    profiling.enable_compile_cache()  # env vars alone are swallowed here
+
     from qoi_tpu import format as fmt, oracle
     from qoi_tpu.kernels import expand as kexpand, pack
     from qoi_tpu.models import pipeline
