@@ -176,9 +176,10 @@ def cmd_encode(batch_frames: int = 8):
     # same wide pass shapes, subrow-granular assemble scatter. (The
     # table_block=32 variant STALLED the remote compiler >30 min on its
     # fresh shapes — parked; see PERF_NOTES stuck-compile hazard.)
+    # sub_rows on TPU: 24.4 / 68.8 Mpx/s at 128 / 512 vs wsw 159.4 —
+    # the (nsub, R) tall-skinny events/assemble ops kill it exactly like
+    # the narrow-seg sweep. CLOSED; kept as a tested compact option.
     for name, seg, mode in (("wsw", 4096, "wsw"),
-                            ("wswsr128", 4096, "wsw@128"),
-                            ("wswsr512", 4096, "wsw@512"),
                             ("wstages", 0, "wstages")):
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
