@@ -215,11 +215,13 @@ def bucket_size_fine(n: int, floor: int = 256) -> int:
     compiled-shape count for <= 12.5% worst-case padding (pow2 wastes up
     to 50%). Real 4K streams land ~14 MB -> the pow2 bucket (16.7M) pads
     16% and every decode scan/expand pass pays it. Only used for sizes
-    >= 2^16 so every candidate is divisible by 2^13 (the decode scan
-    blocks need m % 2048 == 0); smaller sizes keep pow2 buckets."""
-    if n < (1 << 16):
+    >= 2^20 — big streams, where the padding tax is worth extra compiled
+    shapes (4x finer buckets quadruple test-suite compiles) and every
+    candidate divides the decode scan blocks; smaller sizes keep pow2
+    buckets."""
+    if n < (1 << 20):
         return bucket_size(n, floor)
-    b = 1 << 16
+    b = 1 << 20
     while b < n:
         b <<= 1
     for frac in (4, 5, 6, 7):

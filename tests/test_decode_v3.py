@@ -109,24 +109,27 @@ def test_v3_index_alpha_then_rgb_fixpoint():
 
 
 def test_bucket_size_fine():
-    """Quarter-pow2 buckets: minimal candidate >= n, divisible by 2^13,
-    <= 12.5% padding; pow2 below 2^16."""
+    """Quarter-pow2 buckets: minimal candidate >= n, divisible by 2^17,
+    <= 12.5% padding; pow2 below 2^20 (keeps small test streams on the
+    coarse buckets — 4x finer buckets quadruple suite compiles)."""
     from qoi_tpu.models.decode_pipeline import bucket_size_fine
 
     assert bucket_size_fine(1000) == 1024
-    assert bucket_size_fine(1 << 16) == 1 << 16
-    for n in (70000, 100001, (1 << 20) + 1, 14047085, 16777216, 16777217):
+    assert bucket_size_fine(70000) == 1 << 17
+    assert bucket_size_fine(1 << 20) == 1 << 20
+    for n in ((1 << 20) + 1, 1500000, 14047085, 16777216, 16777217):
         b = bucket_size_fine(n)
-        assert b >= n and b % (1 << 13) == 0
-        assert b <= n * 1.25 + (1 << 13)
+        assert b >= n and b % (1 << 17) == 0
+        assert b <= n * 1.25 + (1 << 17)
 
 
+@pytest.mark.slow
 def test_v3_decode_fine_bucket_stream():
     """Public decode through a quarter-pow2 stream bucket (stream >
-    2^16 bytes exercises the fine-bucket scan shapes: m = odd * 2^13)."""
-    img = testimages.noise(256, 160, 4)  # ~160 KB stream, incompressible
-    stream = oracle.encode(img, fmt.StreamDesc(256, 160, 4))
-    assert len(stream) > (1 << 16)
+    2^20 bytes exercises the fine-bucket scan shapes: m = odd * 2^18)."""
+    img = testimages.noise(640, 512, 4)  # ~1.3 MB stream, incompressible
+    stream = oracle.encode(img, fmt.StreamDesc(640, 512, 4))
+    assert len(stream) > (1 << 20)
     got, _ = decode_v3.decode(stream)
     want, _ = oracle.decode(stream)
     np.testing.assert_array_equal(got, want)

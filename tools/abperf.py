@@ -484,6 +484,13 @@ def cmd_decode(unique_streams: int = 8):
         return jnp.concatenate([x] * k, axis=0)
 
     def bench(name, f, d, c):
+        try:
+            _bench(name, f, d, c)
+        except Exception as e:  # OOM at compile etc: record, keep sweeping
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+
+    def _bench(name, f, d, c):
         t0 = time.perf_counter()
         out, conv, _ = f(d, c)
         okc = bool(jax.device_get(jnp.all(conv)))
@@ -506,13 +513,16 @@ def cmd_decode(unique_streams: int = 8):
         accum="wide"))
     bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
-    # batch 32: one more halving of the per-program share (b32 == b16
-    # in the r2 pow2-bucket sweeps; retest under fine buckets)
-    bench("b32 flat wide", lambda d, c: f16w(d, c), dup(db, 4), dup(dc, 4))
+    # batch 32 via the chunked program (a flat b32 vmap OOMs at compile:
+    # 21 G of per-lane intermediates vs the 15.75 G roof)
+    f32c = jax.jit(functools.partial(
+        v3._decode_device_batch_chunked, n_px_cap=npc,
+        use_kernel=not _MINI, accum="wide", sub_batch=16))
+    bench("b32 chunked16", lambda d, c: f32c(d, c), dup(db, 4), dup(dc, 4))
 
     # resolve scan-cap sweep: B=2048 won the r2 pow2 sweeps (512/1024
     # clearly worse); fine buckets changed nb = m/B, so retest upward
-    for bcap in (4096,):
+    for bcap in (4096, 8192):
         v3._SCAN_B_MAX = bcap
         jax.clear_caches()
         fb = jax.jit(functools.partial(
