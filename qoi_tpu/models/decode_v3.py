@@ -391,13 +391,13 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
     return px, exit65
 
 
-#: cap on the resolve's scan length B. Tuned SINGLE-stream on v5e at
-#: M=16.7M (B=2048 beats 512 by 25%: the compose pass shrinks with
-#: nb = M/B; per-step loop overhead grows with B). Under a vmapped
-#: batch the per-step overhead amortizes across lanes, which shifts the
-#: optimum toward smaller B — tools/abperf.py sweeps this (set the cap
-#: + jax.clear_caches() between variants).
-_SCAN_B_MAX = 2048
+#: cap on the resolve's scan length B. Round-2 pow2-bucket sweeps said
+#: 2048; under fine stream buckets the optimum moved UP (hardware r3,
+#: b16 vmapped photo batch: B=2048 184.7, 4096 193.5-198.8, 8192
+#: 202.8-206.6, 16384 206.2 Mpx/s — plateau at >= 8192; the compose
+#: pass-2 work shrinks with nb = M/B). tools/abperf.py sweeps this (set
+#: the cap + jax.clear_caches() between variants).
+_SCAN_B_MAX = 8192
 
 #: expand-kernel geometry (kernels/expand.py): output pixels per grid
 #: step / pixels per subtile row. Standalone the kernel is accumulate-

@@ -522,7 +522,7 @@ def cmd_decode(unique_streams: int = 8):
 
     # resolve scan-cap sweep: B=2048 won the r2 pow2 sweeps (512/1024
     # clearly worse); fine buckets changed nb = m/B, so retest upward
-    for bcap in (4096, 8192):
+    for bcap in (8192, 16384):
         v3._SCAN_B_MAX = bcap
         jax.clear_caches()
         fb = jax.jit(functools.partial(
