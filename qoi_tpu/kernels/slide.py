@@ -1,0 +1,79 @@
+"""Pallas VMEM kernel for the word-sum event slide (ops/compact.py).
+
+The XLA slide is log2(sw) full-array passes: every pass reads and
+writes both (nseg, sw) planes through HBM (~12 x 260 MB of traffic at
+the bench shape, measured ~12 ms/frame in-context). Here each grid step
+loads a block of whole segment rows into VMEM, runs ALL passes
+in-register, and writes the slid val plane once — HBM sees each plane
+exactly once in each direction.
+
+Rows are independent (the slide never crosses a segment row), so the
+block is simply (rows, sw) and every pass is a lane-granular static
+slice+concat shift along the minor axis — the Mosaic-safe shift
+spelling (PERF_NOTES.md: jnp.roll / dynamic slices are not; int32
+everywhere — u32 reductions and i1 relayouts are compiler traps, and
+this kernel needs neither).
+
+Differentially tested against ops/compact._wordsum_slide (interpret
+mode on CPU, hardware via tools/abperf.py's verified encode variants).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+#: segment rows per grid step: amortizes per-step grid/DMA overhead;
+#: VMEM footprint = rows * sw * 4 B * 3 (val in/out + aux) ~ 0.8 MB at
+#: (8, 8192)
+_ROWS = 8
+
+
+def _slide_kernel(val_ref, aux_ref, out_ref, *, sw: int):
+    val = val_ref[...].astype(jnp.int32)
+    aux = aux_ref[...]
+    rows = val.shape[0]
+
+    def shift(x, j):
+        return jnp.concatenate(
+            [x[:, j:], jnp.zeros((rows, j), x.dtype)], axis=1)
+
+    bit = 1
+    while bit < sw:
+        val_s = shift(val, bit)
+        aux_s = shift(aux, bit)
+        dbit = jnp.int32(bit << 1)
+        mv_in = ((aux_s & dbit) != 0) & ((aux_s & 1) != 0)
+        mv_out = ((aux & dbit) != 0) & ((aux & 1) != 0)
+        val = jnp.where(mv_in, val_s, val)
+        aux = jnp.where(mv_in, aux_s,
+                        jnp.where(mv_out, jnp.int32(0), aux))
+        bit <<= 1
+    out_ref[...] = val
+
+
+def slide_val(val: jnp.ndarray, aux: jnp.ndarray,
+              rows: int = _ROWS, interpret: bool = False) -> jnp.ndarray:
+    """Slide events to their within-segment positions; returns the slid
+    val plane (the aux plane is dead after the slide — the assemble
+    masks by per-segment counts). val: (nseg, sw) uint32; aux: (nseg,
+    sw) int32 with alive in bit 0 and the distance in bits 1..; both
+    exactly as `ops/compact._wordsum_events_words` builds them."""
+    nseg, sw = val.shape
+    if nseg % rows:
+        rows = 1
+    kern = functools.partial(_slide_kernel, sw=sw)
+    out = pl.pallas_call(
+        kern,
+        grid=(nseg // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, sw), lambda i: (i, 0)),
+            pl.BlockSpec((rows, sw), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, sw), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nseg, sw), jnp.int32),
+        interpret=interpret,
+    )(val.view(jnp.int32), aux)
+    return out.view(jnp.uint32)

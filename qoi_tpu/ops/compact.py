@@ -152,15 +152,16 @@ def compact_bytes6_wordsum(
 def compact_words6_wordsum(
     lo: jnp.ndarray, hi: jnp.ndarray, lens: jnp.ndarray, capacity: int,
     seg: int = 0, radix: int = 2, words_out: bool = False,
-    sub_rows: int = 0,
+    sub_rows: int = 0, slide: str = "xla", interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Word-sum compaction from packed record words (the form='words'
     staging of pipeline.encode_stage_chunks): lo (N,) uint32 = record
     bytes 0..3 little-endian, hi (N,) uint32 = bytes 4..5, bytes at or
     past lens[i] zero. Skips the byte-plane repack entirely.
-    `sub_rows` switches to subrow-relative slide distances: only
-    log2(sub_rows) passes (vs log2(2*seg)) and a subrow-granular
-    assemble scatter."""
+    `sub_rows` switches to subrow-relative slide distances (CLOSED on
+    TPU: tall-skinny events/assemble ops — PERF_NOTES). `slide="kernel"`
+    runs the slide passes in VMEM (kernels/slide.py) instead of
+    log2(2*seg) HBM round-trips."""
     assert capacity % 4 == 0
     n = lens.shape[0]
     s_eff = seg or _COMPACT_SEG
@@ -169,7 +170,13 @@ def compact_words6_wordsum(
     if sub_rows and (2 * s_eff) % sub_rows:
         sub_rows = 0  # tiny/ragged inputs: plain segment-wide distances
     ev = _wordsum_events_words(lo, hi, lens, seg, sub_rows=sub_rows)
-    val, aux = _wordsum_slide(ev[0], ev[1], radix=radix, dist_cap=sub_rows)
+    if slide == "kernel" and not sub_rows:
+        from ..kernels.slide import slide_val
+
+        val, aux = slide_val(ev[0], ev[1], interpret=interpret), ev[1]
+    else:
+        val, aux = _wordsum_slide(ev[0], ev[1], radix=radix,
+                                  dist_cap=sub_rows)
     if sub_rows:
         val = val.reshape(val.size // sub_rows, sub_rows)
     return _wordsum_assemble(val, aux, *ev[2:],

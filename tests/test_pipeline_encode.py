@@ -125,6 +125,13 @@ def test_compact_bytes6_wordsum(n, lens_kind):
         assert int(tr) == int(ta)
         assert np.array_equal(np.asarray(sr)[: int(ta)],
                               np.asarray(b)[: int(tb)])
+    # the VMEM slide kernel (kernels/slide.py, interpret mode on CPU)
+    sk, tk = compact.compact_words6_wordsum(
+        lo.view(jnp.uint32), (hl & 0xFFFF).view(jnp.uint32),
+        jnp.asarray(lens), cap, slide="kernel", interpret=True)
+    assert int(tk) == int(ta)
+    assert np.array_equal(np.asarray(sk)[: int(ta)],
+                          np.asarray(b)[: int(tb)])
 
 
 @pytest.mark.parametrize("case", ["mixed", "palette_alpha", "flat", "noise"])

@@ -179,10 +179,14 @@ def cmd_encode(batch_frames: int = 8):
     # sub_rows on TPU: 24.4 / 68.8 Mpx/s at 128 / 512 vs wsw 159.4 —
     # the (nsub, R) tall-skinny events/assemble ops kill it exactly like
     # the narrow-seg sweep. CLOSED; kept as a tested compact option.
+    # wswk = the VMEM slide kernel (kernels/slide.py): all 13 passes
+    # in-register, HBM sees each plane once per direction.
     for name, seg, mode in (("wsw", 4096, "wsw"),
+                            ("wswk", 4096, "wswk"),
                             ("wstages", 0, "wstages")):
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
+                # (wswk routes via the same wsw body below)
                 tb = int(m.split(":")[1]) if ":" in m else 64
                 sr = int(m.split("@")[1]) if "@" in m else 0
                 m = m.split(":")[0].split("@")[0]
@@ -197,7 +201,8 @@ def cmd_encode(batch_frames: int = 8):
                 return compact.compact_words6_wordsum(
                     ch.lo, ch.hi, ch.lens, cap * 6, seg=s,
                     radix=4 if m == "wsw4" else 2, words_out=True,
-                    sub_rows=sr)
+                    sub_rows=sr, slide="kernel" if m == "wswk" else "xla",
+                    interpret=_MINI)
             if m in ("steq", "strun", "sttab", "sttab8k"):
                 from qoi_tpu.ops import scans, table
                 prev = jnp.concatenate(
