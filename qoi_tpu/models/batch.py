@@ -72,21 +72,28 @@ def encode_batch(
             px[row, : flat.shape[0]] = flat
             nv[row] = flat.shape[0]
         if jax.devices()[0].platform == "tpu":
-            # per-image pipelined dispatch of the splitd pack structure —
-            # measured faster than any vmapped batch program on v5e
-            # (PERF_NOTES.md "program-structure endgame"); the async
-            # queue overlaps the per-program floors across images
+            # per-image pipelined dispatch of the fused word-sum program
+            # (the fastest measured structure, PERF_NOTES r3), synced
+            # with ONE combined totals fetch; each stream's words are
+            # then fetched in fixed-shape pieces (only ~total bytes move
+            # through the ~3 MB/s host link)
+            from ..utils import fetch
+
             devouts = [
-                pipeline.encode_device_pack(
+                pipeline.encode_device_wordsum(
                     jnp.asarray(px[row]), jnp.int32(nv[row]))
                 for row in range(len(idxs))
             ]
+            comb = jax.jit(lambda ts: jnp.stack(ts))
+            tots = np.asarray(jax.device_get(
+                comb([t for _, t in devouts])))
             for row, i in enumerate(idxs):
-                buf, tot = devouts[row]
-                t = int(jax.device_get(tot))
+                words, _ = devouts[row]
+                body = fetch.fetch_prefix(
+                    words, -(-int(tots[row]) // 4)).view(np.uint8)
                 out[i] = (
                     fmt.pack_header(descs[i])
-                    + np.asarray(jax.device_get(buf))[:t].tobytes()
+                    + body[: int(tots[row])].tobytes()
                     + fmt.TRAILER
                 )
             continue
