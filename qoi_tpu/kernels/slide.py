@@ -62,18 +62,27 @@ def slide_val(val: jnp.ndarray, aux: jnp.ndarray,
     sw) int32 with alive in bit 0 and the distance in bits 1..; both
     exactly as `ops/compact._wordsum_events_words` builds them."""
     nseg, sw = val.shape
-    if nseg % rows:
-        rows = 1
+    # Mosaic needs the block's second-minor dim divisible by 8: pad with
+    # zero rows (dead events — the assemble masks by per-segment counts)
+    # and slice back after
+    npad = -(-nseg // rows) * rows - nseg
+    vi = val.view(jnp.int32)
+    ai = aux
+    if npad:
+        vi = jnp.concatenate(
+            [vi, jnp.zeros((npad, sw), jnp.int32)], axis=0)
+        ai = jnp.concatenate(
+            [ai, jnp.zeros((npad, sw), jnp.int32)], axis=0)
     kern = functools.partial(_slide_kernel, sw=sw)
     out = pl.pallas_call(
         kern,
-        grid=(nseg // rows,),
+        grid=((nseg + npad) // rows,),
         in_specs=[
             pl.BlockSpec((rows, sw), lambda i: (i, 0)),
             pl.BlockSpec((rows, sw), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((rows, sw), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nseg, sw), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nseg + npad, sw), jnp.int32),
         interpret=interpret,
-    )(val.view(jnp.int32), aux)
-    return out.view(jnp.uint32)
+    )(vi, ai)
+    return out[:nseg].view(jnp.uint32)

@@ -301,10 +301,11 @@ def encode_device_pack(px4, n_valid, *, window: str = "dyn",
                                interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "table_block"))
+@functools.partial(jax.jit, static_argnames=("seg", "table_block", "slide"))
 def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
                           seg: int = 4096,
-                          table_block: int = table._BLOCK):
+                          table_block: int = table._BLOCK,
+                          slide: str = None):
     """Device-resident encode as ONE fused program: word-form staging
     (form='words' — the classifier emits packed record words directly,
     no (6, N) byte-plane materialization) + the word-sum compaction
@@ -315,13 +316,19 @@ def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
     entirely D2H fetch round-trip — PERF_NOTES.md).
     Returns (words (6*N//4,) uint32 — the stream bytes little-endian,
     numpy .view(uint8) on the host is free — and total int32)."""
+    if slide is None:
+        # the VMEM slide kernel (kernels/slide.py) is +20% on real TPU
+        # (hardware r3: wswk 192.0 vs wsw 159.8 Mpx/s, byte-verified);
+        # XLA slide on CPU (no Mosaic there)
+        slide = ("kernel" if jax.devices()[0].platform == "tpu"
+                 else "xla")
     with profiling.annotate("qoi.encode.stage_words"):
         ch = encode_stage_chunks(px4, n_valid, form="words",
                                  table_block=table_block)
     with profiling.annotate("qoi.encode.compact"):
         return compact.compact_words6_wordsum(
             ch.lo, ch.hi, ch.lens, px4.shape[0] * 6, seg=seg,
-            words_out=True)
+            words_out=True, slide=slide)
 
 
 def bucket_size(n: int, floor: int = 256) -> int:
