@@ -201,6 +201,8 @@ def _wordsum_events_words(lo_u, hi_u, lens, seg=0, sub_rows=0):
     slide then needs only log2(sub_rows) passes)."""
     n = lens.shape[0]
     l = lens.astype(jnp.int32)
+    # (the two N-length cumsums here cannot fuse into one (2, N) pass:
+    # the contribution values need the byte offsets' shift first)
     off = exclusive_cumsum(l)
     total = (off[-1] + l[-1]).astype(jnp.int32) if n else jnp.int32(0)
 

@@ -47,7 +47,18 @@ def enable_compile_cache(path: str = "/root/.cache/jax",
     (what bench/abperf did through round 3) never cached ANYTHING — every
     process re-paid every remote compile. Only `jax.config.update` takes
     effect (hardware-verified: env-only leaves the cache dir untouched,
-    config.update writes entries). PERF_NOTES.md round-3."""
+    config.update writes entries). PERF_NOTES.md round-3.
+
+    TPU-only: the remote compile service also serves XLA:CPU compiles,
+    and its AOT entries record the COMPILE machine's CPU features —
+    loading them on this host warns 'could lead to execution errors
+    such as SIGILL' (observed once as a transient wrong encode). CPU
+    compiles are cheap; don't cache them."""
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return
+    except Exception:  # pragma: no cover - no backend at all
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
 

@@ -21,7 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# the env vars above are swallowed by sitecustomize; only jax.config
-# actually enables the persistent compile cache (PERF_NOTES round-3)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache for the forced-CPU suite: XLA:CPU AOT
+# entries record the COMPILE machine's features and loading them on a
+# different host warns "could lead to execution errors such as SIGILL"
+# — observed once as a transient wrong-encode in an abperf mini run.
+# CPU compiles are cheap; only the TPU entry points (bench/abperf/cli/
+# hwcheck via utils/profiling.enable_compile_cache) use the cache.

@@ -181,9 +181,13 @@ def cmd_encode(batch_frames: int = 8):
     # the narrow-seg sweep. CLOSED; kept as a tested compact option.
     # wswk = the VMEM slide kernel (kernels/slide.py): all 13 passes
     # in-register, HBM sees each plane once per direction.
-    for name, seg, mode in (("wsw", 4096, "wsw"),
-                            ("wswk", 4096, "wswk"),
-                            ("wstages", 0, "wstages")):
+    # Hardware r3: wswk (VMEM slide) 192.0 vs wsw 159.8 — the slide
+    # kernel is the production path. Retrying table_block=32 under it
+    # (the first attempt hit the degraded-compiler stall).
+    for name, seg, mode in (("wswk", 4096, "wswk"),
+                            ("wswktb32", 4096, "wswk:32"),
+                            ("wstages", 0, "wstages"),
+                            ("wstagestb32", 0, "wstages:32")):
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
                 # (wswk routes via the same wsw body below)
