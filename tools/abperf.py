@@ -182,12 +182,13 @@ def cmd_encode(batch_frames: int = 8):
     # wswk = the VMEM slide kernel (kernels/slide.py): all 13 passes
     # in-register, HBM sees each plane once per direction.
     # Hardware r3: wswk (VMEM slide) 192.0 vs wsw 159.8 — the slide
-    # kernel is the production path. Retrying table_block=32 under it
-    # (the first attempt hit the degraded-compiler stall).
+    # kernel is the production path. table_block=32 is COMPILE-
+    # PATHOLOGICAL: its (nb, 32, 32) mask families stall the remote
+    # compiler >15 min on BOTH attempts (every other program compiles in
+    # 20-90 s) — closed, 64 stays.
     for name, seg, mode in (("wswk", 4096, "wswk"),
-                            ("wswktb32", 4096, "wswk:32"),
-                            ("wstages", 0, "wstages"),
-                            ("wstagestb32", 0, "wstages:32")):
+                            ("wsw", 4096, "wsw"),
+                            ("wstages", 0, "wstages")):
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
                 # (wswk routes via the same wsw body below)
