@@ -523,6 +523,36 @@ def cmd_decode(unique_streams: int = 8):
         accum="wide"))
     bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
+    # phase ablations (checksum-only, b16 vmapped): where the decode
+    # frame goes — fields+w0 scans, the symbolic resolve, run expansion
+    from qoi_tpu.ops import scans as qscans
+
+    def abl_one(phase):
+        def one(d, c):
+            starts, cls, r6, d32, lit32, npix = v3._fields(d, c)
+            pix_off = qscans.exclusive_cumsum(npix)
+            w0 = jnp.where(starts, v3._initial_w(cls, r6, d32, lit32), 0)
+            if phase == "fields":
+                return (jnp.sum(w0) + jnp.sum(pix_off) + jnp.sum(cls)
+                        + jnp.sum(d32.view(jnp.int32)))
+            m = d.shape[0]
+            px, exit65 = v3._resolve(cls, r6, w0, d32, lit32, m,
+                                     v3._scan_block_len(m))
+            return (jnp.sum(px.view(jnp.int32))
+                    + jnp.sum(exit65.view(jnp.int32)))
+        return jax.jit(lambda dd, cc: jax.vmap(one)(dd, cc))
+
+    for phase in ("fields", "resolve"):
+        fa = abl_one(phase)
+        d2, c2 = dup(db, 2), dup(dc, 2)
+        out = fa(d2, c2)  # compile
+        int(jax.device_get(out[0]))
+        mn, ts = _mins(lambda: int(jax.device_get(fa(d2, c2)[0])))
+        print(f"abl {phase}: min {mn*1e3:.0f} ms "
+              f"({2*len(streams)*n/1e6/mn:.1f} Mpx/s, "
+              f"{mn*1e3/(2*len(streams)):.1f}/frame) "
+              f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
     # batch 32 via the chunked program (a flat b32 vmap OOMs at compile:
     # 21 G of per-lane intermediates vs the 15.75 G roof)
     f32c = jax.jit(functools.partial(

@@ -20,6 +20,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -116,6 +118,20 @@ def main() -> int:
     ok = (not oracle.available()) or got == oracle.encode(img, desc)
     log(f"encode_device_pack vs oracle: {'OK' if ok else 'MISMATCH'}")
     fails += not ok
+
+    # end-to-end wordsum encode with BOTH slide variants vs the oracle
+    # (slide='kernel' is the production Mosaic path — kernels/slide.py)
+    for sl in ("xla", "kernel"):
+        words, tot = pipeline.encode_device_wordsum(
+            jnp.asarray(padded), jnp.int32(px4.shape[0]), slide=sl)
+        tot = int(jax.device_get(tot))
+        got = (fmt.pack_header(desc)
+               + np.asarray(jax.device_get(words)).view(np.uint8)[:tot]
+               .tobytes() + fmt.TRAILER)
+        ok = (not oracle.available()) or got == oracle.encode(img, desc)
+        log(f"encode_device_wordsum slide={sl}: "
+            f"{'OK' if ok else 'MISMATCH'}")
+        fails += not ok
 
     print("HWCHECK " + ("PASS" if not fails else f"FAIL ({fails})"))
     return 1 if fails else 0
