@@ -560,17 +560,19 @@ def cmd_decode(unique_streams: int = 8):
         use_kernel=not _MINI, accum="wide", sub_batch=16))
     bench("b32 chunked16", lambda d, c: f32c(d, c), dup(db, 4), dup(dc, 4))
 
-    # resolve scan-cap sweep: B=2048 won the r2 pow2 sweeps (512/1024
-    # clearly worse); fine buckets changed nb = m/B, so retest upward
-    for bcap in (8192, 16384):
-        v3._SCAN_B_MAX = bcap
+    # expand-tile re-sweep: with fine buckets + B=8192 the expand
+    # kernel is the dominant decode phase (~20.7 of 40.2 ms/frame —
+    # fields 7.6, resolve 10.4, cert ~1.5); etile 1024 won the r2
+    # sweeps, retest under the new balance
+    for etile in (2048, 4096):
+        v3._EXPAND_TILE = etile
         jax.clear_caches()
-        fb = jax.jit(functools.partial(
+        fe = jax.jit(functools.partial(
             v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
             accum="wide"))
-        bench(f"b16 wide B={bcap}", lambda d, c, f=fb: f(d, c),
+        bench(f"b16 wide etile={etile}", lambda d, c, f=fe: f(d, c),
               dup(db, 2), dup(dc, 2))
-    v3._SCAN_B_MAX = 2048
+    v3._EXPAND_TILE = 1024
     jax.clear_caches()
 
 
