@@ -119,3 +119,25 @@ def test_facade_streams_huge_decode(monkeypatch):
     monkeypatch.setattr(qoi_tpu, "STREAM_THRESHOLD_PX", 1000)
     out, _ = qoi_tpu.decode(stream)
     np.testing.assert_array_equal(out, img)
+
+
+def test_fetch_prefix_edges():
+    """utils/fetch.fetch_prefix: piece-aligned and unaligned totals,
+    zero, full-buffer, and buffers smaller than one piece."""
+    import jax.numpy as jnp
+
+    from qoi_tpu.utils import fetch
+
+    buf = jnp.arange(1000, dtype=jnp.uint32)
+    for total in (0, 1, 999, 1000):
+        got = fetch.fetch_prefix(buf, total)
+        assert got.shape == (total,)
+        assert (got == np.arange(total, dtype=np.uint32)).all()
+    old = fetch.PIECE
+    try:
+        fetch.PIECE = 256  # force multi-piece paths incl. clamped last
+        for total in (0, 255, 256, 257, 512, 999, 1000):
+            got = fetch.fetch_prefix(buf, total)
+            assert (got == np.arange(total, dtype=np.uint32)).all()
+    finally:
+        fetch.PIECE = old
