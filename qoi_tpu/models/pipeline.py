@@ -31,6 +31,22 @@ from ..utils import profiling
 _SEED = jnp.array(fmt.SEED_PIXEL, dtype=jnp.uint8)
 
 
+def _swar_add(a: jnp.ndarray, b) -> jnp.ndarray:
+    """Per-byte mod-256 add of 4x-u8-packed uint32 lanes (masked halves
+    keep carries in the zero gaps; same as models/decode_v3)."""
+    m2 = jnp.uint32(0xFF00FF00)
+    lo = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    hi = ((a & m2) + (b & m2)) & m2
+    return lo | hi
+
+
+def _swar_sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-byte mod-256 subtract of 4x-u8-packed uint32 lanes (no
+    cross-byte borrow): ((a | H) - (b & ~H)) ^ ((a ^ ~b) & H)."""
+    h = jnp.uint32(0x80808080)
+    return ((a | h) - (b & ~h)) ^ ((a ^ ~b) & h)
+
+
 class EncoderCarry(NamedTuple):
     """The four loop carries of the reference encoder (qoi.h:406-478) at a
     tile boundary, for chaining tiles sequentially (models/streamed.py) or
@@ -107,11 +123,18 @@ def encode_stage_chunks(
     if contains_last is not None:
         last_pos = jnp.where(contains_last, last_pos, -1)
 
-    # -- stage 1: previous pixel (the px_prev carry is just a shift)
+    # -- stage 1: previous pixel (the px_prev carry is just a shift).
+    # Pixels compare as ONE packed u32 each (pack_rgba is needed for the
+    # table anyway); the per-byte diffs for classification come from a
+    # SWAR subtract on the packed lanes — no (N, 3) int8 family, no
+    # narrow-int op chains (round-3; classification was ~10 ms/frame of
+    # 8/16-bit wheres on v5e).
     if prev_in is None:
         prev_in = _SEED
-    prev = jnp.concatenate([prev_in[None].astype(jnp.uint8), px4[:-1]], axis=0)
-    eq = jnp.all(px4 == prev, axis=-1) | ~valid
+    packed = table.pack_rgba(px4)
+    prev32 = jnp.concatenate(
+        [table.pack_rgba(prev_in.astype(jnp.uint8))[None], packed[:-1]])
+    eq = (packed == prev32) | ~valid
 
     # -- stage 2: run segmentation
     runs = scans.run_segmentation(eq, last_pos=last_pos, run_in=run_in)
@@ -121,7 +144,6 @@ def encode_stage_chunks(
     # `table_local` (precomputed table_hit_local output) lets host-level
     # paths run the big-tensor phase as its own program (PERF_NOTES.md)
     keys = table.hash64(px4)
-    packed = table.pack_rgba(px4)
     if table_local is None:
         hit0, (tbl_out, wr_out) = table.table_hit(
             keys, packed, write=~eq, incoming=table_in, block=table_block)
@@ -130,27 +152,29 @@ def encode_stage_chunks(
             table_local, keys, packed, incoming=table_in, block=table_block)
     hit = ~eq & hit0
 
-    # -- stage 4: op classification, byte-plane-major (every array here is
-    # (N,) — (N, small) layouts pad the minor dim to 128 lanes on TPU and
-    # blow HBM by 21x, PERF_NOTES.md)
-    d = (px4[:, :3] - prev[:, :3]).astype(jnp.int8)
-    vr, vg, vb = d[:, 0], d[:, 1], d[:, 2]
-    vg_r = (vr - vg).astype(jnp.int8)
-    vg_b = (vb - vg).astype(jnp.int8)
-    alpha_same = px4[:, 3] == prev[:, 3]
-    small = lambda v: (v >= -2) & (v <= 1)
-    is_diff = alpha_same & small(vr) & small(vg) & small(vb)
+    # -- stage 4: op classification, SWAR on the packed u32 lanes (every
+    # array here is (N,) int32/uint32 — no (N, 3) int8 family, no
+    # 8/16-bit op chains; range tests use the mod-256 identity
+    # v in [-k, m) <=> (v + k) mod 256 < k + m)
+    d32s = _swar_sub(packed, prev32)          # per-byte mod-256 diffs
+    alpha_same = (d32s >> 24) == 0
+    t2 = _swar_add(d32s, jnp.uint32(0x00020202))  # (dr+2, dg+2, db+2)
+    is_diff = alpha_same & ((t2 & 0x00FCFCFC) == 0)
+    vr8 = (d32s & 0xFF).astype(jnp.int32)
+    vg8 = ((d32s >> 8) & 0xFF).astype(jnp.int32)
+    vb8 = ((d32s >> 16) & 0xFF).astype(jnp.int32)
+    g32 = (vg8 + 32) & 0xFF                   # (vg + 32) mod 256
+    gr16 = (vr8 - vg8 + 8) & 0xFF             # (vg_r + 8) mod 256
+    gb16 = (vb8 - vg8 + 8) & 0xFF             # (vg_b + 8) mod 256
     is_luma = (alpha_same & ~is_diff
-               & (vg >= -32) & (vg <= 31)
-               & (vg_r >= -8) & (vg_r <= 7)
-               & (vg_b >= -8) & (vg_b <= 7))
+               & (g32 < 64) & (gr16 < 16) & (gb16 < 16))
     is_rgb = alpha_same & ~is_diff & ~is_luma
 
-    i16 = lambda v: v.astype(jnp.int16)
-    diff_b0 = (fmt.OP_DIFF | (i16(vr) + 2) << 4 | (i16(vg) + 2) << 2
-               | (i16(vb) + 2)).astype(jnp.uint8)
-    luma_b0 = (fmt.OP_LUMA | (i16(vg) + 32)).astype(jnp.uint8)
-    luma_b1 = ((i16(vg_r) + 8) << 4 | (i16(vg_b) + 8)).astype(jnp.uint8)
+    t2i = t2.astype(jnp.int32)
+    diff_b0 = (fmt.OP_DIFF | (t2i & 3) << 4 | ((t2i >> 8) & 3) << 2
+               | ((t2i >> 16) & 3))           # int32; cast per form below
+    luma_b0 = fmt.OP_LUMA | g32               # g32 < 64 wherever used
+    luma_b1 = (gr16 << 4) | gb16              # both < 16 wherever used
     idx_byte = (fmt.OP_INDEX | keys).astype(jnp.uint8)
 
     run_byte = (fmt.OP_RUN | (runs.run_val - 1)).astype(jnp.uint8)
@@ -170,14 +194,13 @@ def encode_stage_chunks(
         # exactly kernels/pack._record_words' (lo, hi) layout without
         # ever materializing the (6, N) byte planes
         u32 = lambda v: v.astype(jnp.uint32)
-        rgbx = (u32(px4[:, 0]) << 8 | u32(px4[:, 1]) << 16
-                | u32(px4[:, 2]) << 24)
+        rgbx = (packed << 8) & jnp.uint32(0xFFFFFF00)  # r<<8|g<<16|b<<24
         own_lo = jnp.where(hit, u32(idx_byte),
                  jnp.where(is_diff, u32(diff_b0),
                  jnp.where(is_luma, u32(luma_b0) | u32(luma_b1) << 8,
                  jnp.where(is_rgb, fmt.OP_RGB | rgbx, fmt.OP_RGBA | rgbx))))
         own_hi = jnp.where(is_rgb | hit | is_diff | is_luma,
-                           jnp.uint32(0), u32(px4[:, 3]))
+                           jnp.uint32(0), packed >> 24)
         lo = jnp.where(fl, u32(flush_byte) | own_lo << 8, own_lo)
         hi = jnp.where(fl, (own_lo >> 24) | own_hi << 8, own_hi)
         lo = jnp.where(eq, jnp.where(runs.emits_run, u32(run_byte), 0), lo)
@@ -186,10 +209,10 @@ def encode_stage_chunks(
     else:
         u8 = lambda x: jnp.full_like(idx_byte, x)
         own0 = jnp.where(hit, idx_byte,
-                jnp.where(is_diff, diff_b0,
-                jnp.where(is_luma, luma_b0,
+                jnp.where(is_diff, diff_b0.astype(jnp.uint8),
+                jnp.where(is_luma, luma_b0.astype(jnp.uint8),
                 jnp.where(is_rgb, u8(fmt.OP_RGB), u8(fmt.OP_RGBA)))))
-        lit1 = jnp.where(is_luma, luma_b1, px4[:, 0])
+        lit1 = jnp.where(is_luma, luma_b1.astype(jnp.uint8), px4[:, 0])
         own1 = jnp.where(hit | is_diff, 0, lit1)
         own2 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 1])
         own3 = jnp.where(hit | is_diff | is_luma, 0, px4[:, 2])
