@@ -107,6 +107,26 @@ def _wfrows(sub: int) -> int:
     return -(-need // 8) * 8
 
 
+def _wbrows_dense(tile: int) -> int:
+    """Dense-record blocks: every row is a CHUNK record advancing >= 1
+    px (the chunk-compacted input, decode_v3._compact_chunks), so a
+    tile's landing records span <= tile + tail rows-positions — 4x less
+    DMA per step than the byte-granular 5*tile bound."""
+    b = 8
+    while tile + 8 > _WROW * b:
+        b <<= 1
+    return b
+
+
+def _wfrows_dense(sub: int) -> int:
+    """Dense-record fine window: every 128-record row advances >= 128
+    px, so a subtile's landing records span ceil(sub/128) rows — at
+    sub=512 the window is 16 rows for 512 px (4x fewer accumulate ops
+    per pixel than the byte-granular 16 rows per 128 px)."""
+    need = 8 + -(-sub // _WROW) + 2
+    return -(-need // 8) * 8
+
+
 _SEED32 = np.int32(np.uint32(
     fmt.SEED_PIXEL[0] | fmt.SEED_PIXEL[1] << 8
     | fmt.SEED_PIXEL[2] << 16 | fmt.SEED_PIXEL[3] << 24).view(np.int32))
@@ -216,7 +236,8 @@ def _make_kernel(tile: int, sub: int, accum: str = "sum"):
     return kernel
 
 
-def _make_wide_kernel(tile: int, sub: int, dyn: bool):
+def _make_wide_kernel(tile: int, sub: int, dyn: bool,
+                      dense: bool = False):
     """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
 
     The narrow layout's (sub, 64) compare/select/add values pad their
@@ -229,8 +250,8 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool):
     static window); the alignment slack and worst-case span are paid
     only by content that needs them.
     """
-    brows = _wbrows(tile)
-    frows = _wfrows(sub)
+    brows = _wbrows_dense(tile) if dense else _wbrows(tile)
+    frows = _wfrows_dense(sub) if dense else _wfrows(sub)
     nsub = tile // sub
     ngmax = 2 * brows // 8
 
@@ -293,10 +314,12 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool):
 
 
 def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
-                    tile: int, sub: int, seed32, dyn: bool):
+                    tile: int, sub: int, seed32, dyn: bool,
+                    dense: bool = False):
     """Wide-layout driver for expand_px (accum in {"wide", "dyn"})."""
-    brows = _wbrows(tile)
-    assert tile % sub == 0 and _wfrows(sub) <= 2 * brows
+    brows = _wbrows_dense(tile) if dense else _wbrows(tile)
+    frows = _wfrows_dense(sub) if dense else _wfrows(sub)
+    assert tile % sub == 0 and frows <= 2 * brows
     assert tile // sub % 8 == 0 and sub % 128 == 0, "out needs 8k x 128k"
     m = pix_off.shape[0]
     t_out = -(-n_px_cap // tile)
@@ -337,7 +360,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                         pltpu.VMEM((2 * brows, _WROW), jnp.int32)],
     )
     landed = pl.pallas_call(
-        _make_wide_kernel(tile, sub, dyn),
+        _make_wide_kernel(tile, sub, dyn, dense),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
@@ -348,10 +371,10 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "interpret", "tile", "sub", "accum"))
+    "n_px_cap", "interpret", "tile", "sub", "accum", "dense"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
               tile: int = _TILE, sub: int = _SUB, seed32=None,
-              accum: str = "wide"):
+              accum: str = "wide", dense: bool = False):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
@@ -363,7 +386,9 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     """
     if accum in ("wide", "dyn"):
         return _expand_px_wide(pix_off, px32, n_px_cap, interpret,
-                               tile, sub, seed32, dyn=accum == "dyn")
+                               tile, sub, seed32, dyn=accum == "dyn",
+                               dense=dense)
+    assert not dense, "dense geometry is wide-layout only"
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows
     # lane-major output blocks: one row per subtile, Mosaic requires the

@@ -54,6 +54,65 @@ def _slide_kernel(val_ref, aux_ref, out_ref, *, sw: int):
     out_ref[...] = val
 
 
+def _slide_kernel2(val_ref, val2_ref, aux_ref, out_ref, out2_ref, *,
+                   sw: int):
+    """Two-value-plane variant: both planes ride the same aux moves
+    (used by the decode-side chunk compaction: pix_off + px planes)."""
+    val = val_ref[...].astype(jnp.int32)
+    val2 = val2_ref[...].astype(jnp.int32)
+    aux = aux_ref[...]
+    rows = val.shape[0]
+
+    def shift(x, j):
+        return jnp.concatenate(
+            [x[:, j:], jnp.zeros((rows, j), x.dtype)], axis=1)
+
+    bit = 1
+    while bit < sw:
+        val_s = shift(val, bit)
+        val2_s = shift(val2, bit)
+        aux_s = shift(aux, bit)
+        dbit = jnp.int32(bit << 1)
+        mv_in = ((aux_s & dbit) != 0) & ((aux_s & 1) != 0)
+        mv_out = ((aux & dbit) != 0) & ((aux & 1) != 0)
+        val = jnp.where(mv_in, val_s, val)
+        val2 = jnp.where(mv_in, val2_s, val2)
+        aux = jnp.where(mv_in, aux_s,
+                        jnp.where(mv_out, jnp.int32(0), aux))
+        bit <<= 1
+    out_ref[...] = val
+    out2_ref[...] = val2
+
+
+def slide_val2(val: jnp.ndarray, val2: jnp.ndarray, aux: jnp.ndarray,
+               rows: int = _ROWS, interpret: bool = False):
+    """Like slide_val but carries TWO value planes through the same
+    moves. Returns (val', val2') as int32 planes."""
+    nseg, sw = val.shape
+    npad = -(-nseg // rows) * rows - nseg
+
+    def pad(x):
+        if not npad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((npad, sw), jnp.int32)], axis=0)
+
+    vi, v2, ai = (pad(val.view(jnp.int32)), pad(val2.view(jnp.int32)),
+                  pad(aux))
+    kern = functools.partial(_slide_kernel2, sw=sw)
+    spec = pl.BlockSpec((rows, sw), lambda i: (i, 0))
+    out, out2 = pl.pallas_call(
+        kern,
+        grid=((nseg + npad) // rows,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((nseg + npad, sw), jnp.int32),
+                   jax.ShapeDtypeStruct((nseg + npad, sw), jnp.int32)],
+        interpret=interpret,
+    )(vi, v2, ai)
+    return out[:nseg], out2[:nseg]
+
+
 def slide_val(val: jnp.ndarray, aux: jnp.ndarray,
               rows: int = _ROWS, interpret: bool = False) -> jnp.ndarray:
     """Slide events to their within-segment positions; returns the slid

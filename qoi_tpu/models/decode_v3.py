@@ -487,20 +487,88 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     return px, starts, npix, pix_off, conv, rounds, exit65
 
 
+#: dense-expand geometry: 512-px subtiles are only sound on CHUNK-dense
+#: records (every row advances >= 1 px — kernels/expand._wfrows_dense)
+_DENSE_TILE = 4096
+_DENSE_SUB = 512
+
+
+def _compact_chunks(starts, pix_off, px32, interpret: bool = False):
+    """Per-byte (pix_off, px32) rows -> chunk-dense records in a prefix
+    of the SAME length (static shapes; only ~bytes/2.1 slots are real).
+    Real records pack at the front via the 2-plane VMEM slide kernel
+    (kernels/slide.py); tail slots get (pix_off=_INF, px=0) so they land
+    nowhere and their deltas cancel out of every prefix sum. The dense
+    form feeds kernels/expand's dense geometry: >= 1 px per record
+    means 4x less DMA per grid step and 4x fewer accumulate ops per
+    pixel at sub=512."""
+    from ..kernels import expand as kexpand
+    from ..kernels.slide import slide_val2
+
+    m = starts.shape[0]
+    seg = 4096
+    nseg = m // seg
+    a = starts.astype(jnp.int32)
+    dest = scans.exclusive_cumsum(a)
+    n_chunks = (dest[-1] + a[-1]).astype(jnp.int32)
+    a_r = a.reshape(nseg, seg)
+    cnt = jnp.sum(a_r, axis=1)
+    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nseg, seg), 1)
+    d = jnp.where(a_r != 0,
+                  iota - (dest.reshape(nseg, seg) - base[:, None]), 0)
+    aux = a_r | (d << 1)
+    off_s, px_s = slide_val2(
+        pix_off.astype(jnp.int32).reshape(nseg, seg),
+        px32.reshape(nseg, seg), aux, interpret=interpret)
+
+    # assemble: dense per-segment prefixes -> global dense prefix (the
+    # windowed row scatter-add is ~free; overlapping windows only add
+    # zeros onto real records)
+    real = iota < cnt[:, None]
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+
+    def assemble(rows):
+        out = jax.lax.scatter_add(
+            jnp.zeros((m + seg,), jnp.int32), base[:, None],
+            jnp.where(real, rows, 0), dn,
+            indices_are_sorted=True, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.CLIP)
+        return out[:m]
+
+    tail = jnp.arange(m, dtype=jnp.int32) >= n_chunks
+    off_d = jnp.where(tail, kexpand._INF, assemble(off_s))
+    px_d = jnp.where(tail, 0, assemble(px_s)).view(jnp.uint32)
+    return off_d, px_d
+
+
 def _expand_packed(starts, px32, pix_off, n_px_cap: int,
-                   use_kernel: bool = False, accum: str = "wide"):
+                   use_kernel: bool = False, accum: str = "wide",
+                   dense: bool = False, interpret: bool = False):
     """Run expansion via the telescoping-delta formulation
     (kernels/expand.py): out[p] = seed + sum of px-deltas over bytes
     with pix_off <= p, which telescopes to the governing chunk's px.
     `use_kernel` selects the Pallas placement kernel (TPU); the XLA path
-    is one sorted scatter-add + cumsum. Truncation-tolerant: pixels
-    before any chunk keep the seed, pixels past the last chunk repeat
-    its px (reference qoi.h:544)."""
+    is one sorted scatter-add + cumsum. `dense` first compacts the
+    per-byte rows to chunk records (`_compact_chunks`) and runs the
+    kernel's dense geometry. Truncation-tolerant: pixels before any
+    chunk keep the seed, pixels past the last chunk repeat its px
+    (reference qoi.h:544)."""
     from ..kernels import expand as kexpand
 
     if use_kernel:
+        if dense and pix_off.shape[0] % 4096 == 0:
+            off_d, px_d = _compact_chunks(starts, pix_off, px32,
+                                          interpret=interpret)
+            return kexpand.expand_px(off_d, px_d, n_px_cap, accum=accum,
+                                     tile=_DENSE_TILE, sub=_DENSE_SUB,
+                                     dense=True, interpret=interpret)
         return kexpand.expand_px(pix_off, px32, n_px_cap, accum=accum,
-                                 tile=_EXPAND_TILE, sub=_EXPAND_SUB)
+                                 tile=_EXPAND_TILE, sub=_EXPAND_SUB,
+                                 interpret=interpret)
     return kexpand.expand_px_xla(pix_off, px32, n_px_cap)
 
 
@@ -513,24 +581,26 @@ def _use_kernel_default() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "max_rounds", "use_kernel", "accum"))
+    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense"))
 def _decode_device(data, chunks_len, n_px_cap: int,
                    max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False,
-                   accum: str = "wide"):
+                   accum: str = "wide", dense: bool = False):
     px, starts, npix, pix_off, conv, rounds, _ = _decode_core(
         data, chunks_len, max_rounds)
-    out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel, accum)
+    out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel, accum,
+                         dense=dense)
     return out, conv, rounds
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "max_rounds", "use_kernel", "accum"))
+    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense"))
 def _decode_device_batch(data, chunks_len, n_px_cap: int,
                          max_rounds: int = _MAX_ROUNDS,
-                         use_kernel: bool = False, accum: str = "wide"):
+                         use_kernel: bool = False, accum: str = "wide",
+                         dense: bool = False):
     return jax.vmap(
         lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel,
-                                    accum)
+                                    accum, dense)
     )(data, chunks_len)
 
 

@@ -135,6 +135,38 @@ def test_v3_decode_fine_bucket_stream():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("case", ["photo", "mixed", "palette_alpha",
+                                  "runs"])
+def test_dense_expand_matches(case):
+    """The chunk-compacted dense expansion (decode_v3._compact_chunks +
+    kernels/expand dense geometry, interpret mode) must be pixel-
+    identical to the byte-granular kernel AND the XLA reference."""
+    from qoi_tpu.kernels import expand as kexpand
+
+    w, h = 256, 128
+    img = {"photo": lambda: testimages.photo(w, h, 4),
+           "mixed": lambda: testimages.mixed(w, h, 4),
+           "palette_alpha": lambda: testimages.palette_alpha(w, h),
+           "runs": lambda: testimages.runs_with_caps(w, h, 4)}[case]()
+    stream = oracle.encode(img, fmt.StreamDesc(w, h, 4))
+    chunks = np.frombuffer(stream, np.uint8)[fmt.HEADER_SIZE:]
+    cap = v1.bucket_size(len(chunks), 4096)
+    pad = np.zeros((cap,), np.uint8)
+    pad[: len(chunks)] = chunks
+    npc = v1.bucket_size(w * h)
+    px, starts, npix, pix_off, conv, _, _ = decode_v3._decode_core(
+        jnp.asarray(pad), jnp.int32(len(stream) - 22))
+    assert bool(conv)
+    ref = kexpand.expand_px_xla(pix_off, px, npc)
+    got_byte = decode_v3._expand_packed(
+        starts, px, pix_off, npc, use_kernel=True, interpret=True)
+    got_dense = decode_v3._expand_packed(
+        starts, px, pix_off, npc, use_kernel=True, dense=True,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_byte), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(got_dense), np.asarray(ref))
+
+
 def test_v3_truncation_and_channel_forcing():
     img = testimages.mixed(40, 30, 4)
     full = oracle.encode(img, fmt.StreamDesc(40, 30, 4))

@@ -523,6 +523,15 @@ def cmd_decode(unique_streams: int = 8):
         accum="wide"))
     bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
+    # dense expansion: chunk-compact the (pix_off, px) rows (2-plane
+    # VMEM slide, decode_v3._compact_chunks) and run the kernel's dense
+    # geometry (>= 1 px/record: 4x less DMA per step, 4x fewer
+    # accumulate ops per px at sub=512)
+    f16d = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="wide", dense=True))
+    bench("b16 dense", lambda d, c: f16d(d, c), dup(db, 2), dup(dc, 2))
+
     # phase ablations (checksum-only, b16 vmapped): where the decode
     # frame goes — fields+w0 scans, the symbolic resolve, run expansion
     from qoi_tpu.ops import scans as qscans
