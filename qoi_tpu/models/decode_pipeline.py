@@ -212,8 +212,9 @@ def bucket_size(n: int, floor: int = 256) -> int:
 
 def bucket_size_fine(n: int, floor: int = 256) -> int:
     """Quarter-power-of-two bucket (2^k * {1, 1.25, 1.5, 1.75}): 4x the
-    compiled-shape count for <= 12.5% worst-case padding (pow2 wastes up
-    to 50%). Real 4K streams land ~14 MB -> the pow2 bucket (16.7M) pads
+    compiled-shape count for <= 1/7 (~14.3%) worst-case padding — n just
+    above 7*(b>>3) rounds to the full pow2 b (pow2 alone wastes up to
+    50%). Real 4K streams land ~14 MB -> the pow2 bucket (16.7M) pads
     16% and every decode scan/expand pass pays it. Only used for sizes
     >= 2^20 — big streams, where the padding tax is worth extra compiled
     shapes (4x finer buckets quadruple test-suite compiles) and every

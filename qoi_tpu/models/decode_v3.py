@@ -39,7 +39,7 @@ expansion):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -637,7 +637,8 @@ def unpack_px32(px32: np.ndarray) -> np.ndarray:
 
 
 def decode_group(data: jnp.ndarray, chunks_len: jnp.ndarray, n_px_cap: int,
-                 use_kernel: bool = None, max_rounds: int = _MAX_ROUNDS):
+                 use_kernel: Optional[bool] = None,
+                 max_rounds: int = _MAX_ROUNDS):
     """Batched device decode for same-bucket streams. data: (B, M) uint8;
     chunks_len: (B,) int32. Returns (px32 (B, n_px_cap) uint32, converged
     (B,) bool). `use_kernel` selects the Pallas expand kernel (defaults

@@ -301,12 +301,25 @@ def decode(data: bytes, channels: int = 0, tile_bytes: int = 0,
             entry_dev, t, p_budget, max_rounds, use_kernel)
         convs.append(conv)
 
-    combined = jax.jit(lambda c, pc: (jnp.stack(c), pc))
-    convs_h, px_total = jax.device_get(combined(convs, px_cursor))
+    combined = jax.jit(lambda c, pc, bc: (jnp.stack(c), pc, bc))
+    convs_h, px_total, byte_total = jax.device_get(
+        combined(convs, px_cursor, cursor))
     convs_h = np.asarray(convs_h)
     px_total = int(px_total)
+    byte_total = int(byte_total)
 
-    if convs_h.all():
+    if convs_h.all() and px_total < n_px and byte_total < chunks_len:
+        # the static n_tiles bound was exhausted with bytes left over
+        # (possible only when the header's pixel total is inconsistent
+        # with the byte stream — ADVICE r3): finish host-driven rather
+        # than silently truncation-filling the remainder.
+        flat32 = _fetch_words(plane, min(px_total, n_px))
+        parts, fill_from = _decode_host_from(
+            chunks, chunks_len, byte_total, px_total, entry_dev, n_px,
+            t, max_rounds, use_kernel)
+        if parts:
+            flat32 = np.concatenate([flat32] + parts)[:n_px]
+    elif convs_h.all():
         flat32 = _fetch_words(plane, min(px_total, n_px))
         fill_from = entry_dev
     else:

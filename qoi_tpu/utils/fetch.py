@@ -17,11 +17,19 @@ import numpy as np
 PIECE = 1 << 22
 
 
+@functools.lru_cache(maxsize=None)
+def _piece_slicer(p: int):
+    """One jitted fixed-shape slicer per piece size, reused across calls
+    (a per-call lambda would have a fresh identity and re-trace every
+    time — ADVICE r3)."""
+    return jax.jit(functools.partial(
+        lambda b, o, p: jax.lax.dynamic_slice(b, (o,), (p,)), p=p))
+
+
 def fetch_prefix(buf, total: int) -> np.ndarray:
     """Fetch buf[:total] (any 1-D dtype) in fixed-shape pieces."""
     p = min(PIECE, buf.shape[0])
-    piece = jax.jit(functools.partial(
-        lambda b, o, p: jax.lax.dynamic_slice(b, (o,), (p,)), p=p))
+    piece = _piece_slicer(p)
     out = []
     for off in range(0, total, p):
         # dynamic_slice clamps the start so the last piece reads a
