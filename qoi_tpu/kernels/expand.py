@@ -100,6 +100,30 @@ def _wbrows(tile: int) -> int:
     return b
 
 
+def _wspan_rows(tile: int) -> int:
+    """Rows a tile's landing bytes can span in the wide layout: the
+    bytes live within 5*tile + 8 positions of the first landing byte
+    (<= 5 B/px worst case), which crosses at most that many row
+    boundaries + the partial first and last rows."""
+    return -(-(tile * 5 + 8) // _WROW) + 2
+
+
+def _wblk(tile: int, nblocks: int) -> int:
+    """Rows per DMA block for an `nblocks`-block window (power of two so
+    the searchsorted anchor is a shift). The anchor row r0 - 1 sits
+    anywhere inside the FIRST block, so coverage needs
+    (blk - 1) + span <= nblocks * blk, i.e. (nblocks - 1) * blk >=
+    span - 1. More, smaller blocks waste less DMA on the anchor's
+    block-granular alignment: nblocks=2 -> 128 rows total at tile 1024
+    (the r2 shape), nblocks=4 -> 64 rows — half the HBM traffic per
+    grid step for the same correctness envelope."""
+    span = _wspan_rows(tile)
+    blk = 8  # minimum: (blk, 128) i32 DMA blocks need 8-row sublane tiles
+    while (nblocks - 1) * blk < span - 1:
+        blk <<= 1
+    return blk
+
+
 def _wfrows(sub: int) -> int:
     """Wide-layout fine-window rows: 8 alignment slack + span (every
     128-byte row holds >= 25 chunk starts, each advancing >= 1 px) + 2."""
@@ -237,7 +261,7 @@ def _make_kernel(tile: int, sub: int, accum: str = "sum"):
 
 
 def _make_wide_kernel(tile: int, sub: int, dyn: bool,
-                      dense: bool = False):
+                      dense: bool = False, nblocks: int = 2):
     """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
 
     The narrow layout's (sub, 64) compare/select/add values pad their
@@ -250,19 +274,26 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
     static window); the alignment slack and worst-case span are paid
     only by content that needs them.
     """
-    brows = _wbrows_dense(tile) if dense else _wbrows(tile)
+    if nblocks == 2:
+        blk = _wbrows_dense(tile) if dense else _wbrows(tile)
+    else:
+        assert not dense, "multi-block geometry is byte-granular only"
+        blk = _wblk(tile, nblocks)
+    wrows = nblocks * blk
     frows = _wfrows_dense(sub) if dense else _wfrows(sub)
     nsub = tile // sub
-    ngmax = 2 * brows // 8
+    ngmax = wrows // 8
 
-    def kernel(qb_ref, po_a, po_b, d_a, d_b, out_ref, wpo, wd):
+    def kernel(qb_ref, *refs):
+        po_refs = refs[:nblocks]
+        d_refs = refs[nblocks:2 * nblocks]
+        out_ref, wpo, wd = refs[2 * nblocks:]
         t = pl.program_id(0)
         base_t = t * tile
-        wpo[0:brows, :] = po_a[...]
-        wpo[brows:2 * brows, :] = po_b[...]
-        wd[0:brows, :] = d_a[...]
-        wd[brows:2 * brows, :] = d_b[...]
-        rowfirst = wpo[:, 0:1]                       # (2*brows, 1) nondecr.
+        for j in range(nblocks):
+            wpo[j * blk:(j + 1) * blk, :] = po_refs[j][...]
+            wd[j * blk:(j + 1) * blk, :] = d_refs[j][...]
+        rowfirst = wpo[:, 0:1]                       # (wrows, 1) nondecr.
 
         bases = base_t + sub * jax.lax.broadcasted_iota(
             jnp.int32, (1, nsub), 1)
@@ -281,7 +312,7 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
 
             if not dyn:
                 row0 = jnp.clip((cb - 2) >> 3,
-                                0, (2 * brows - frows) // 8) * 8
+                                0, (wrows - frows) // 8) * 8
                 fpo = wpo[pl.ds(row0, frows), :]
                 fd = wd[pl.ds(row0, frows), :]
                 acc = jnp.zeros((sub, _WROW), jnp.int32)
@@ -315,16 +346,20 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
 
 def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                     tile: int, sub: int, seed32, dyn: bool,
-                    dense: bool = False):
+                    dense: bool = False, nblocks: int = 2):
     """Wide-layout driver for expand_px (accum in {"wide", "dyn"})."""
-    brows = _wbrows_dense(tile) if dense else _wbrows(tile)
+    if nblocks == 2:
+        blk = _wbrows_dense(tile) if dense else _wbrows(tile)
+    else:
+        assert not dense, "multi-block geometry is byte-granular only"
+        blk = _wblk(tile, nblocks)
     frows = _wfrows_dense(sub) if dense else _wfrows(sub)
-    assert tile % sub == 0 and frows <= 2 * brows
+    assert tile % sub == 0 and frows <= nblocks * blk
     assert tile // sub % 8 == 0 and sub % 128 == 0, "out needs 8k x 128k"
     m = pix_off.shape[0]
     t_out = -(-n_px_cap // tile)
-    nblocks = -(-m // (_WROW * brows)) + 2
-    rows_pad = nblocks * brows
+    nfull = -(-m // (_WROW * blk)) + nblocks  # slack: qb + nblocks - 1 in range
+    rows_pad = nfull * blk
 
     seed = (jnp.int32(_SEED32) if seed32 is None
             else jnp.asarray(seed32).view(jnp.int32).reshape(()))
@@ -342,39 +377,37 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
 
     rowfirst = po_r[:, 0]
     qs = jnp.arange(t_out, dtype=jnp.int32) * tile
-    bshift = brows.bit_length() - 1
+    bshift = blk.bit_length() - 1
     r0 = jnp.searchsorted(rowfirst, qs, method="sort").astype(jnp.int32)
     qb = jnp.maximum(r0 - 1, 0) >> bshift
+
+    def mk_spec(j):
+        return pl.BlockSpec((blk, _WROW), lambda t, q, j=j: (q[t] + j, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_out,),
-        in_specs=[
-            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t], 0)),
-            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t] + 1, 0)),
-            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t], 0)),
-            pl.BlockSpec((brows, _WROW), lambda t, q: (q[t] + 1, 0)),
-        ],
+        in_specs=[mk_spec(j) for j in range(nblocks)] * 2,
         out_specs=pl.BlockSpec((tile // sub, sub), lambda t, q: (t, 0)),
-        scratch_shapes=[pltpu.VMEM((2 * brows, _WROW), jnp.int32),
-                        pltpu.VMEM((2 * brows, _WROW), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((nblocks * blk, _WROW), jnp.int32),
+                        pltpu.VMEM((nblocks * blk, _WROW), jnp.int32)],
     )
     landed = pl.pallas_call(
-        _make_wide_kernel(tile, sub, dyn, dense),
+        _make_wide_kernel(tile, sub, dyn, dense, nblocks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
         interpret=interpret,
-    )(qb, po_r, po_r, d_r, d_r)
+    )(qb, *([po_r] * nblocks), *([d_r] * nblocks))
     landed = landed.reshape(-1)[:n_px_cap]
     return (jnp.cumsum(landed) + seed).view(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "interpret", "tile", "sub", "accum", "dense"))
+    "n_px_cap", "interpret", "tile", "sub", "accum", "dense", "nblocks"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
               tile: int = _TILE, sub: int = _SUB, seed32=None,
-              accum: str = "wide", dense: bool = False):
+              accum: str = "wide", dense: bool = False, nblocks: int = 2):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
@@ -387,7 +420,7 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     if accum in ("wide", "dyn"):
         return _expand_px_wide(pix_off, px32, n_px_cap, interpret,
                                tile, sub, seed32, dyn=accum == "dyn",
-                               dense=dense)
+                               dense=dense, nblocks=nblocks)
     assert not dense, "dense geometry is wide-layout only"
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows

@@ -274,9 +274,12 @@ def _select_row(rows, idx, plane):
                    dtype=plane.dtype)
 
 
-def _block_maps(meta, d32, lit32, nb: int, b: int):
+def _block_maps(meta, d32, lit32, nb: int, b: int, emit_px: bool = False):
     """Pass 1: per-block symbolic 65-entry maps. Inputs are (B, nb)
-    position-major records. Returns (root (65, nb), val (65, nb)) uint32.
+    position-major records. Returns (root (65, nb), val (65, nb)) uint32,
+    plus — when `emit_px` — the px entry's symbolic (root, val) AFTER
+    every position ((B, nb) uint32 each), which lets the vectorized
+    pass-3 replacement (`_apply_symbolic`) skip the numeric re-scan.
 
     The px entry (row 0) rides as its own (nb,) vector inside the scan —
     keeping it out of the table plane shrinks the per-step one-hot work
@@ -304,23 +307,31 @@ def _block_maps(meta, d32, lit32, nb: int, b: int):
         px_root = jnp.where(live, new_root, px_root)
         px_val = jnp.where(live, new_val, px_val)
         mask = (rows == w[None, :]) & live[None, :]
+        ys = (px_root, px_val) if emit_px else None
         return (px_root, px_val,
                 jnp.where(mask, new_root[None, :], troot),
-                jnp.where(mask, new_val[None, :], tval)), None
+                jnp.where(mask, new_val[None, :], tval)), ys
 
-    (px_root, px_val, troot, tval), _ = jax.lax.scan(
-        step, (px_root0, px_val0, troot0, tval0), (meta, d32, lit32))
+    (px_root, px_val, troot, tval), ys = jax.lax.scan(
+        step, (px_root0, px_val0, troot0, tval0), (meta, d32, lit32),
+        unroll=_P1_UNROLL)
     root = jnp.concatenate([px_root[None], troot], axis=0)
     val = jnp.concatenate([px_val[None], tval], axis=0)
+    if emit_px:
+        return root, val, ys[0], ys[1]
     return root, val
 
 
-def _compose_entry_states(root, val, nb: int, entry65=None):
+def _compose_entry_states(root, val, nb: int, entry65=None,
+                          return_exit: bool = False):
     """Pass 2: inclusive associative compose of block maps (per-channel
     one-hot lookups over the 65-entry axis), then application to the
     stream-entry state -> packed numeric 65-entry state at every block
     ENTRY. `entry65` ((65,) packed u32: px + 64 slots, default seed px
-    and zeroed slots) supports tiled/streamed chaining."""
+    and zeroed slots) supports tiled/streamed chaining. `return_exit`
+    additionally returns the packed state after the LAST block ((65,)
+    u32) — the stream's exit state, which the vectorized pass-3
+    replacement needs because it no longer runs a numeric scan."""
     # unpack per channel: (4, 65, nb) int32
     shifts = jnp.array([0, 8, 16, 24], jnp.uint32)[:, None, None]
     rc = ((root[None] >> shifts) & 0xFF).astype(jnp.int32)
@@ -360,7 +371,44 @@ def _compose_entry_states(root, val, nb: int, entry65=None):
               | entry[1].astype(jnp.uint32) << 8
               | entry[2].astype(jnp.uint32) << 16
               | entry[3].astype(jnp.uint32) << 24)
-    return packed  # (65, nb)
+    if not return_exit:
+        return packed  # (65, nb)
+    exit65 = (applied[0, :, -1].astype(jnp.uint32)
+              | applied[1, :, -1].astype(jnp.uint32) << 8
+              | applied[2, :, -1].astype(jnp.uint32) << 16
+              | applied[3, :, -1].astype(jnp.uint32) << 24)
+    return packed, exit65
+
+
+def _apply_symbolic(proot, pval, entry_packed):
+    """Vectorized pass 3: numeric px after every position from the
+    symbolic per-position px entries (pass 1's `emit_px` output) and the
+    per-block entry states (pass 2). Replaces the sequential numeric
+    re-scan — the scan's B sequential steps are latency-bound on this
+    platform while this form is ~65 fused SWAR select/accumulate passes
+    over (B, nb), fully parallel.
+
+    Per channel c of position i in block n:
+        px_c = pval_c                          if proot_c == _ABS
+             = (entry[proot_c][c] + pval_c) % 256  otherwise
+    The 65-way lookup runs SWAR-packed: for each entry row k, an exact
+    per-byte zero test of proot ^ (k * 0x01010101) selects that row's
+    bytes (at most one k matches per byte); _ABS (= 65) matches no k, so
+    its accumulator byte stays 0 and the final mod-256 add returns pval
+    unchanged — the ABS case falls out with no extra select."""
+    acc = jnp.zeros_like(pval)
+    m7f = jnp.uint32(0x7F7F7F7F)
+    for k in range(_ABS):
+        x = proot ^ jnp.uint32(k * 0x01010101)
+        # exact SWAR zero-byte test (no cross-byte borrow: 0x7F + 0x7F
+        # cannot carry out of bit 7): bit7 of each byte of ~y is set
+        # iff that byte of x is zero
+        y = ((x & m7f) + m7f) | x
+        # 0/1 per matching byte -> 0xFF per matching byte (0x01 * 0xFF
+        # stays in-byte, no carries), then mask the entry row in
+        mfull = ((~y & jnp.uint32(0x80808080)) >> 7) * jnp.uint32(0xFF)
+        acc = acc | (entry_packed[k][None, :] & mfull)
+    return _swar_add(acc, pval)
 
 
 def _numeric_scan(meta, d32, lit32, entry, nb: int):
@@ -399,6 +447,11 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
 #: the cap + jax.clear_caches() between variants).
 _SCAN_B_MAX = 8192
 
+#: pass-1 lax.scan unroll: each of the B sequential steps carries fixed
+#: loop/bookkeeping overhead (~1 us) that dwarfs its (64, nb) vector
+#: work; unrolling amortizes it (tools/abperf.py sweeps this)
+_P1_UNROLL = 4
+
 #: expand-kernel geometry (kernels/expand.py): output pixels per grid
 #: step / pixels per subtile row. Standalone the kernel is accumulate-
 #: bound (tile 1024 == 2048 within noise, PERF_NOTES), but under a
@@ -407,6 +460,10 @@ _SCAN_B_MAX = 8192
 #: the same way as _SCAN_B_MAX (set + jax.clear_caches()).
 _EXPAND_TILE = 1024
 _EXPAND_SUB = 128
+#: DMA blocks per expand grid step (kernels/expand._wblk): 4 x 16-row
+#: blocks cover the same worst-case landing span as the r2 2 x 64-row
+#: shape with HALF the HBM traffic and scratch per step
+_EXPAND_NBLOCKS = 4
 
 
 def _scan_block_len(m: int) -> int:
@@ -418,9 +475,15 @@ def _scan_block_len(m: int) -> int:
     return b
 
 
-def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None):
+def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None,
+             apply: str = "vector"):
     """One full symbolic resolve given written slots w. Returns (px32 (M,)
-    uint32: the decoder's px value after every byte position, exit65)."""
+    uint32: the decoder's px value after every byte position, exit65).
+
+    `apply` picks pass 3: "vector" (default) applies pass-2 entry states
+    to pass-1's per-position symbolic px entries in one fused SWAR pass
+    (`_apply_symbolic` — no second sequential scan); "scan" is the
+    original numeric re-scan, kept as the differential anchor."""
     nb = m // b
     meta = (cls | (w << 3) | (r6 << 9)).astype(jnp.int32)
 
@@ -428,14 +491,22 @@ def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None):
         return x.reshape(nb, b).T
 
     meta_p, d32_p, lit32_p = pos_major(meta), pos_major(d32), pos_major(lit32)
-    root, val = _block_maps(meta_p, d32_p, lit32_p, nb, b)
-    entry = _compose_entry_states(root, val, nb, entry65)
-    px, exit65 = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
+    if apply == "vector":
+        root, val, proot, pval = _block_maps(
+            meta_p, d32_p, lit32_p, nb, b, emit_px=True)
+        entry, exit65 = _compose_entry_states(root, val, nb, entry65,
+                                              return_exit=True)
+        px = _apply_symbolic(proot, pval, entry)
+    else:
+        root, val = _block_maps(meta_p, d32_p, lit32_p, nb, b)
+        entry = _compose_entry_states(root, val, nb, entry65)
+        px, exit65 = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
     return px.T.reshape(m), exit65
 
 
 def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
-                 max_rounds: int = _MAX_ROUNDS, entry65=None):
+                 max_rounds: int = _MAX_ROUNDS, entry65=None,
+                 apply: str = "vector"):
     """Full chunk-level decode to per-byte px values + bookkeeping.
     Returns (px32 (M,) u32, starts, npix, pix_off, converged, rounds,
     exit65). `entry65` ((65,) packed u32 incoming state, default seed)
@@ -449,7 +520,7 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     w0 = jnp.where(starts, _initial_w(cls, r6, d32, lit32, entry_px32), 0)
 
     def round_(w, prev_bad):
-        px, exit65 = _resolve(cls, r6, w, d32, lit32, m, b, entry65)
+        px, exit65 = _resolve(cls, r6, w, d32, lit32, m, b, entry65, apply)
         # certificate: self-consistency w == hash(px(w)) forces exactness
         # (the consistent prefix is unique by induction on positions)
         true_w = jnp.where(starts, _hash_packed(px), 0)
@@ -568,6 +639,7 @@ def _expand_packed(starts, px32, pix_off, n_px_cap: int,
                                      dense=True, interpret=interpret)
         return kexpand.expand_px(pix_off, px32, n_px_cap, accum=accum,
                                  tile=_EXPAND_TILE, sub=_EXPAND_SUB,
+                                 nblocks=_EXPAND_NBLOCKS,
                                  interpret=interpret)
     return kexpand.expand_px_xla(pix_off, px32, n_px_cap)
 
@@ -581,26 +653,27 @@ def _use_kernel_default() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense"))
+    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply"))
 def _decode_device(data, chunks_len, n_px_cap: int,
                    max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False,
-                   accum: str = "wide", dense: bool = False):
+                   accum: str = "wide", dense: bool = False,
+                   apply: str = "vector"):
     px, starts, npix, pix_off, conv, rounds, _ = _decode_core(
-        data, chunks_len, max_rounds)
+        data, chunks_len, max_rounds, apply=apply)
     out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel, accum,
                          dense=dense)
     return out, conv, rounds
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense"))
+    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply"))
 def _decode_device_batch(data, chunks_len, n_px_cap: int,
                          max_rounds: int = _MAX_ROUNDS,
                          use_kernel: bool = False, accum: str = "wide",
-                         dense: bool = False):
+                         dense: bool = False, apply: str = "vector"):
     return jax.vmap(
         lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel,
-                                    accum, dense)
+                                    accum, dense, apply)
     )(data, chunks_len)
 
 

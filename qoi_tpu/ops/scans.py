@@ -66,7 +66,14 @@ def chunked_assoc_scan(combine, elems, seg: int = 1 << 16):
     return back
 
 
-def blocked_scan(combine, elems, block: int = 512):
+#: lax.scan unroll factor for the blocked scans: each sequential step is
+#: latency/bookkeeping-bound on this platform (~1 us regardless of lane
+#: width), so unrolling amortizes the per-step overhead across U
+#: combines. Tuned on hardware via tools/abperf.py.
+_UNROLL = 4
+
+
+def blocked_scan(combine, elems, block: int = 512, unroll: int = 0):
     """Inclusive associative scan over axis -1, as a vmapped `lax.scan`:
 
       1. lax.scan over position-in-block (lanes = blocks): the running
@@ -105,7 +112,8 @@ def blocked_scan(combine, elems, block: int = 512):
         nxt = combine(carry, x)
         return nxt, nxt
 
-    totals, ys_rest = jax.lax.scan(step, first, rest)
+    totals, ys_rest = jax.lax.scan(step, first, rest,
+                                   unroll=unroll or _UNROLL)
     ys = jax.tree.map(
         lambda f, y: jnp.concatenate([f[None], y], axis=0), first, ys_rest)
 

@@ -244,3 +244,43 @@ def test_v3_random_roundtrips():
         img = testimages.palette(w, h, ch, colors=int(rng.integers(2, 20)),
                                  seed=int(rng.integers(1 << 30)))
         _roundtrip(img)
+
+
+@pytest.mark.parametrize("entry", ["seed", "chained"])
+def test_resolve_vector_apply_matches_scan(entry):
+    """The vectorized pass-3 replacement (`_apply_symbolic` over pass-1's
+    symbolic per-position px entries) must produce byte-identical px and
+    exit states to the original numeric re-scan, for every content class
+    and under tiled/streamed entry-state chaining."""
+    cases = [
+        testimages.photo(160, 96, 4, seed=5),
+        testimages.mixed(160, 96, 4, seed=3),
+        testimages.palette_alpha(160, 96, colors=40, seed=7),
+        testimages.runs_with_caps(160, 96, 4),
+        testimages.alpha_toggle(160, 96),
+        testimages.noise(64, 48, 4, seed=1),
+    ]
+    rng = np.random.default_rng(11)
+    e65 = (None if entry == "seed" else jnp.asarray(
+        rng.integers(0, 1 << 32, 65, dtype=np.uint64).astype(np.uint32)))
+    for img in cases:
+        h, w, _ = img.shape
+        s = oracle.encode(img, fmt.StreamDesc(w, h, 4))
+        raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+        clen = len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
+        cap = v1.bucket_size(len(raw))
+        d = np.zeros(cap, np.uint8)
+        d[:len(raw)] = raw
+        d = jnp.asarray(d)
+        starts, cls, r6, d32, lit32, _ = decode_v3._fields(
+            d, jnp.int32(clen))
+        epx = None if e65 is None else e65[0]
+        w0 = jnp.where(
+            starts, decode_v3._initial_w(cls, r6, d32, lit32, epx), 0)
+        b = decode_v3._scan_block_len(cap)
+        px_s, ex_s = decode_v3._resolve(cls, r6, w0, d32, lit32, cap, b,
+                                        entry65=e65, apply="scan")
+        px_v, ex_v = decode_v3._resolve(cls, r6, w0, d32, lit32, cap, b,
+                                        entry65=e65, apply="vector")
+        np.testing.assert_array_equal(np.asarray(px_s), np.asarray(px_v))
+        np.testing.assert_array_equal(np.asarray(ex_s), np.asarray(ex_v))

@@ -200,3 +200,25 @@ def test_expand_kernel_adversarial_geometry(geometry):
     want = np.asarray(expand.expand_px_xla(
         jnp.asarray(pix_off), jnp.asarray(px), cap))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("nblocks,accum", [
+    (4, "wide"), (4, "dyn"), (7, "wide")])
+def test_expand_kernel_multiblock_windows(nblocks, accum):
+    """Multi-block DMA windows (4x16 / 7x8 rows instead of 2x64) must be
+    exact on every geometry the 2-block shape covers: mixed chunks,
+    worst-case 5 B/px density, and max-sparsity 62-runs."""
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    for pix_off, px, cap in [
+            _synth_records(60000, 17) + (32768,),
+            _synth_records(20000, 7, max_run=1) + (16384,),
+            _all_one_byte_chunks(2048, 62) + (32768,)]:
+        got = np.asarray(expand.expand_px(
+            jnp.asarray(pix_off), jnp.asarray(px), cap, interpret=True,
+            accum=accum, nblocks=nblocks))
+        want = np.asarray(expand.expand_px_xla(
+            jnp.asarray(pix_off), jnp.asarray(px), cap))
+        np.testing.assert_array_equal(got, want)

@@ -186,9 +186,16 @@ def cmd_encode(batch_frames: int = 8):
     # PATHOLOGICAL: its (nb, 32, 32) mask families stall the remote
     # compiler >15 min on BOTH attempts (every other program compiles in
     # 20-90 s) — closed, 64 stays.
+    # table_block=128: the int8-iota limit. At tb=64 every (.., 64, 64)
+    # mask family pads its 64-lane minor dim to 128 (half the VPU lanes
+    # dead) and the int32 comb families waste the same way; tb=128 fills
+    # the lanes and HALVES the block count for the summary/carry side.
+    # (tb=32 was compile-pathological — the hazard direction is smaller
+    # blocks, not bigger.)
     for name, seg, mode in (("wswk", 4096, "wswk"),
-                            ("wsw", 4096, "wsw"),
-                            ("wstages", 0, "wstages")):
+                            ("wswk128", 4096, "wswk:128"),
+                            ("wstages", 0, "wstages"),
+                            ("wstages128", 0, "wstages:128")):
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
                 # (wswk routes via the same wsw body below)
@@ -523,6 +530,23 @@ def cmd_decode(unique_streams: int = 8):
         accum="wide"))
     bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
+    # pass-3 structure: "scan" = the original numeric re-scan (r3
+    # production), "vector" (the new default, in f16w above) = pass-1
+    # symbolic px entries + one fused SWAR application of the pass-2
+    # entry states — no second sequential scan
+    f16s = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="wide", apply="scan"))
+    bench("b16 scanapply", lambda d, c: f16s(d, c), dup(db, 2), dup(dc, 2))
+
+    # dyn accumulate in-context: photo content is ~1.8 B/px, so the
+    # data-sized fori window (~1 group of 8 rows) should beat the
+    # worst-case-sized static 16-row window if the loop overhead allows
+    f16y = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="dyn"))
+    bench("b16 flat dyn", lambda d, c: f16y(d, c), dup(db, 2), dup(dc, 2))
+
     # dense expansion: chunk-compact the (pix_off, px) rows (2-plane
     # VMEM slide, decode_v3._compact_chunks) and run the kernel's dense
     # geometry (>= 1 px/record: 4x less DMA per step, 4x fewer
@@ -561,6 +585,34 @@ def cmd_decode(unique_streams: int = 8):
               f"({2*len(streams)*n/1e6/mn:.1f} Mpx/s, "
               f"{mn*1e3/(2*len(streams)):.1f}/frame) "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
+    # scan unroll sweep: the sequential scan steps (pass-1 B=8192, the
+    # blocked w-scans at 512) are latency-bound; unroll amortizes the
+    # per-step bookkeeping. (p1, blocked) pairs; default is (4, 4).
+    from qoi_tpu.ops import scans as qsc
+    for p1u, bsu in ((1, 1), (8, 8)):
+        v3._P1_UNROLL, qsc._UNROLL = p1u, bsu
+        jax.clear_caches()
+        fu = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="wide"))
+        bench(f"b16 unroll{p1u}/{bsu}", lambda d, c, f=fu: f(d, c),
+              dup(db, 2), dup(dc, 2))
+    v3._P1_UNROLL, qsc._UNROLL = 4, 4
+    jax.clear_caches()
+
+    # expand DMA-window geometry in-context: nblocks=4 (4x16-row blocks,
+    # half the HBM traffic + scratch of the r2 2x64 shape) vs 2
+    for nbl in (2, 4):
+        v3._EXPAND_NBLOCKS = nbl
+        jax.clear_caches()
+        fnb = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="wide"))
+        bench(f"b16 wide nb{nbl}", lambda d, c, f=fnb: f(d, c),
+              dup(db, 2), dup(dc, 2))
+    v3._EXPAND_NBLOCKS = 4
+    jax.clear_caches()
 
     # batch 32 via the chunked program (a flat b32 vmap OOMs at compile:
     # 21 G of per-lane intermediates vs the 15.75 G roof)
@@ -613,25 +665,32 @@ def cmd_expand():
     _floor_probe(jax, jnp, dpo)
 
     want = None
-    for tile, sub, acc in ((1024, 128, "sum"), (1024, 128, "noop"),
-                           (1024, 128, "wide"), (2048, 128, "wide"),
-                           (2048, 256, "wide"), (4096, 512, "wide")):
-        f = jax.jit(lambda p, x, t=tile, sb=sub, a=acc: expand.expand_px(
-            p, x, cap, tile=t, sub=sb, accum=a, interpret=_MINI))
+    for tile, sub, acc, nbl in (
+            (1024, 128, "sum", 2), (1024, 128, "noop", 2),
+            (1024, 128, "wide", 2), (2048, 128, "wide", 2),
+            (2048, 256, "wide", 2), (4096, 512, "wide", 2),
+            # multi-block DMA windows: same coverage envelope, less HBM
+            # traffic per grid step (4x16 rows = half of 2x64; 7x8 = 56)
+            (1024, 128, "wide", 4), (1024, 128, "noop", 4),
+            (1024, 128, "wide", 7), (1024, 128, "dyn", 4),
+            (2048, 128, "wide", 4)):
+        f = jax.jit(lambda p, x, t=tile, sb=sub, a=acc, nb=nbl:
+                    expand.expand_px(p, x, cap, tile=t, sub=sb, accum=a,
+                                     nblocks=nb, interpret=_MINI))
         t0 = time.perf_counter()
         out = f(dpo, dpx)
         s = int(jax.device_get(jnp.sum(out.view(jnp.int32))))
-        log(f"tile={tile}/{sub}/{acc} compile+run {time.perf_counter()-t0:.0f}s")
+        log(f"tile={tile}/{sub}/{acc}/nb{nbl} compile+run {time.perf_counter()-t0:.0f}s")
         if acc != "noop":  # noop is the DMA/anchor ablation, wrong by design
             if want is None:
                 xla = jax.jit(lambda p, x: expand.expand_px_xla(p, x, cap))
                 assert bool(jax.device_get(jnp.all(out == xla(dpo, dpx)))), \
                     "kernel != XLA reference"
                 want = s
-            assert s == want, f"tile={tile}/{sub}/{acc} checksum mismatch"
+            assert s == want, f"tile={tile}/{sub}/{acc}/nb{nbl} checksum mismatch"
         mn, ts = _mins(
             lambda: int(jax.device_get(f(dpo, dpx)[:1].view(jnp.int32)[0])))
-        print(f"tile={tile}/{sub}/{acc}: min {mn*1e3:.1f} ms "
+        print(f"tile={tile}/{sub}/{acc}/nb{nbl}: min {mn*1e3:.1f} ms "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
 
 
