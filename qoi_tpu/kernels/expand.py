@@ -261,7 +261,8 @@ def _make_kernel(tile: int, sub: int, accum: str = "sum"):
 
 
 def _make_wide_kernel(tile: int, sub: int, dyn: bool,
-                      dense: bool = False, nblocks: int = 2):
+                      dense: bool = False, nblocks: int = 2,
+                      noop: bool = False):
     """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
 
     The narrow layout's (sub, 64) compare/select/add values pad their
@@ -310,6 +311,16 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
             p_col = base_s + jax.lax.broadcasted_iota(
                 jnp.int32, (sub, 1), 0)
 
+            if noop:
+                # ABLATION ONLY (wrong results): grid + DMA + anchors +
+                # window slice, accumulate dropped — bounds the
+                # accumulate's share of the kernel in-context
+                row0 = jnp.clip((cb - 2) >> 3,
+                                0, (wrows - frows) // 8) * 8
+                out_ref[s, :] = jnp.sum(
+                    wpo[pl.ds(row0, 8), 0:sub]
+                    + wd[pl.ds(row0, 8), 0:sub], axis=0)
+                continue
             if not dyn:
                 row0 = jnp.clip((cb - 2) >> 3,
                                 0, (wrows - frows) // 8) * 8
@@ -346,7 +357,8 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
 
 def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                     tile: int, sub: int, seed32, dyn: bool,
-                    dense: bool = False, nblocks: int = 2):
+                    dense: bool = False, nblocks: int = 2,
+                    noop: bool = False):
     """Wide-layout driver for expand_px (accum in {"wide", "dyn"})."""
     if nblocks == 2:
         blk = _wbrows_dense(tile) if dense else _wbrows(tile)
@@ -393,7 +405,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                         pltpu.VMEM((nblocks * blk, _WROW), jnp.int32)],
     )
     landed = pl.pallas_call(
-        _make_wide_kernel(tile, sub, dyn, dense, nblocks),
+        _make_wide_kernel(tile, sub, dyn, dense, nblocks, noop),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
@@ -417,10 +429,11 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     its value; pixels before any chunk get the seed (truncation
     tolerance, reference qoi.h:544). Returns (n_px_cap,) u32.
     """
-    if accum in ("wide", "dyn"):
+    if accum in ("wide", "dyn", "wnoop"):
         return _expand_px_wide(pix_off, px32, n_px_cap, interpret,
                                tile, sub, seed32, dyn=accum == "dyn",
-                               dense=dense, nblocks=nblocks)
+                               dense=dense, nblocks=nblocks,
+                               noop=accum == "wnoop")
     assert not dense, "dense geometry is wide-layout only"
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows

@@ -447,10 +447,10 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
 #: the cap + jax.clear_caches() between variants).
 _SCAN_B_MAX = 8192
 
-#: pass-1 lax.scan unroll: each of the B sequential steps carries fixed
-#: loop/bookkeeping overhead (~1 us) that dwarfs its (64, nb) vector
-#: work; unrolling amortizes it (tools/abperf.py sweeps this)
-_P1_UNROLL = 4
+#: pass-1 lax.scan unroll. Hardware r4: unroll HURTS (38.9 / 42.7 /
+#: 48.7 ms/frame at 1 / 4 / 8, b16 photo batch) — scan steps here are
+#: not bookkeeping-bound; bigger bodies schedule worse. Keep 1.
+_P1_UNROLL = 1
 
 #: expand-kernel geometry (kernels/expand.py): output pixels per grid
 #: step / pixels per subtile row. Standalone the kernel is accumulate-
@@ -462,8 +462,10 @@ _EXPAND_TILE = 1024
 _EXPAND_SUB = 128
 #: DMA blocks per expand grid step (kernels/expand._wblk): 4 x 16-row
 #: blocks cover the same worst-case landing span as the r2 2 x 64-row
-#: shape with HALF the HBM traffic and scratch per step
-_EXPAND_NBLOCKS = 4
+#: shape with HALF the HBM traffic and scratch per step. Hardware r4:
+#: NEUTRAL in-context (42.6 vs 42.8 ms/frame) — the batched expand is
+#: not DMA-bound; 2 stays as the proven shape.
+_EXPAND_NBLOCKS = 2
 
 
 def _scan_block_len(m: int) -> int:

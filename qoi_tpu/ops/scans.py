@@ -66,11 +66,12 @@ def chunked_assoc_scan(combine, elems, seg: int = 1 << 16):
     return back
 
 
-#: lax.scan unroll factor for the blocked scans: each sequential step is
-#: latency/bookkeeping-bound on this platform (~1 us regardless of lane
-#: width), so unrolling amortizes the per-step overhead across U
-#: combines. Tuned on hardware via tools/abperf.py.
-_UNROLL = 4
+#: lax.scan unroll factor for the blocked scans. Hardware r4: unroll
+#: HURTS on this TPU (b16 decode 38.9 / 42.7 / 48.7 ms/frame at
+#: 1 / 4 / 8) — the bigger loop bodies lose more to scheduling/VMEM
+#: pressure than the per-step bookkeeping costs. 1 stays; the knob is
+#: kept for abperf sweeps.
+_UNROLL = 1
 
 
 def blocked_scan(combine, elems, block: int = 512, unroll: int = 0):

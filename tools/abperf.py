@@ -28,6 +28,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = 6
+_ONLY = []
+
+
+def _selected(name: str) -> bool:
+    return not _ONLY or any(t in name for t in _ONLY)
+
+
 W, H = 3840, 2160
 _EXPAND_M = 1 << 24
 _MINI = False
@@ -196,6 +203,9 @@ def cmd_encode(batch_frames: int = 8):
                             ("wswk128", 4096, "wswk:128"),
                             ("wstages", 0, "wstages"),
                             ("wstages128", 0, "wstages:128")):
+        if not _selected(name):
+            continue
+
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
                 # (wswk routes via the same wsw body below)
@@ -501,6 +511,8 @@ def cmd_decode(unique_streams: int = 8):
         return jnp.concatenate([x] * k, axis=0)
 
     def bench(name, f, d, c):
+        if not _selected(name):
+            return
         try:
             _bench(name, f, d, c)
         except Exception as e:  # OOM at compile etc: record, keep sweeping
@@ -576,12 +588,32 @@ def cmd_decode(unique_streams: int = 8):
         return jax.jit(lambda dd, cc: jax.vmap(one)(dd, cc))
 
     for phase in ("fields", "resolve"):
+        if not _selected("abl " + phase):
+            continue
         fa = abl_one(phase)
         d2, c2 = dup(db, 2), dup(dc, 2)
         out = fa(d2, c2)  # compile
         int(jax.device_get(out[0]))
         mn, ts = _mins(lambda: int(jax.device_get(fa(d2, c2)[0])))
         print(f"abl {phase}: min {mn*1e3:.0f} ms "
+              f"({2*len(streams)*n/1e6/mn:.1f} Mpx/s, "
+              f"{mn*1e3/(2*len(streams)):.1f}/frame) "
+              f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
+
+    # wide-kernel noop ablation IN-CONTEXT (checksum only, wrong pixels
+    # by design): full decode + expand driver prep + grid/DMA/anchors,
+    # accumulate dropped — the honest in-context split of the expand
+    # phase into kernel-body vs everything-else
+    if _selected("b16 wnoop"):
+        fno = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="wnoop" if not _MINI else "wide"))
+        d2, c2 = dup(db, 2), dup(dc, 2)
+        t0 = time.perf_counter()
+        int(jax.device_get(fno(d2, c2)[0][0, 0]))
+        log(f"b16 wnoop compile {time.perf_counter()-t0:.0f}s")
+        mn, ts = _mins(lambda: int(jax.device_get(fno(d2, c2)[0][0, 0])))
+        print(f"b16 wnoop: min {mn*1e3:.0f} ms "
               f"({2*len(streams)*n/1e6/mn:.1f} Mpx/s, "
               f"{mn*1e3/(2*len(streams)):.1f}/frame) "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
@@ -698,10 +730,15 @@ def main():
     global W, H, REPS
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("what", choices=["encode", "decode", "expand", "pack"])
+    ap.add_argument("--only", default="",
+                    help="comma-separated substrings: run only matching "
+                         "variants (encode/decode bench names)")
     ap.add_argument("--mini", action="store_true",
                     help="tiny shapes + forced CPU: smoke-tests every "
                          "variant end-to-end without touching the TPU")
     args = ap.parse_args()
+    global _ONLY
+    _ONLY = [t for t in args.only.split(",") if t]
     if args.mini:
         global _EXPAND_M
         import jax
