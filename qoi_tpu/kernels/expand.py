@@ -59,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import format as fmt
+from ..ops import scans
 
 _ROW = 64           # byte positions per record row
 _RLANES = 128       # row lanes: po 64 | d 64
@@ -412,7 +413,8 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
         interpret=interpret,
     )(qb, *([po_r] * nblocks), *([d_r] * nblocks))
     landed = landed.reshape(-1)[:n_px_cap]
-    return (jnp.cumsum(landed) + seed).view(jnp.uint32)
+    inc = scans.blocked_scan(lambda a, b: a + b, landed)
+    return (inc + seed).view(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -496,7 +498,8 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     # rows are (tile, subtile) in order, lanes are pixels: row-major
     # flatten IS pixel order
     landed = landed.reshape(-1)[:n_px_cap]
-    return (jnp.cumsum(landed) + seed).view(jnp.uint32)
+    inc = scans.blocked_scan(lambda a, b: a + b, landed)
+    return (inc + seed).view(jnp.uint32)
 
 
 def expand_px_xla(pix_off, px32, n_px_cap: int, seed32=None):
@@ -510,4 +513,5 @@ def expand_px_xla(pix_off, px32, n_px_cap: int, seed32=None):
     d = px_i - prev
     plane = jnp.zeros((n_px_cap,), jnp.int32).at[
         pix_off.astype(jnp.int32)].add(d, mode="drop", indices_are_sorted=True)
-    return (jnp.cumsum(plane) + seed).view(jnp.uint32)
+    inc = scans.blocked_scan(lambda a, b: a + b, plane)
+    return (inc + seed).view(jnp.uint32)

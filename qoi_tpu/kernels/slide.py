@@ -51,7 +51,11 @@ def _slide_kernel(val_ref, aux_ref, out_ref, *, sw: int):
         aux = jnp.where(mv_in, aux_s,
                         jnp.where(mv_out, jnp.int32(0), aux))
         bit <<= 1
-    out_ref[...] = val
+    # alive-mask the output: slots not holding a landed event carry
+    # stale values otherwise (events land densely at [0, cnt), so this
+    # equals the assemble-side `iota < cnt` mask — now done here for
+    # free in-register, letting the assemble skip a full-plane pass)
+    out_ref[...] = jnp.where((aux & 1) != 0, val, 0)
 
 
 def _slide_kernel2(val_ref, val2_ref, aux_ref, out_ref, out2_ref, *,
@@ -80,8 +84,9 @@ def _slide_kernel2(val_ref, val2_ref, aux_ref, out_ref, out2_ref, *,
         aux = jnp.where(mv_in, aux_s,
                         jnp.where(mv_out, jnp.int32(0), aux))
         bit <<= 1
-    out_ref[...] = val
-    out2_ref[...] = val2
+    alive = (aux & 1) != 0  # see _slide_kernel
+    out_ref[...] = jnp.where(alive, val, 0)
+    out2_ref[...] = jnp.where(alive, val2, 0)
 
 
 def slide_val2(val: jnp.ndarray, val2: jnp.ndarray, aux: jnp.ndarray,

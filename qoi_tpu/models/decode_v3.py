@@ -566,7 +566,8 @@ _DENSE_TILE = 4096
 _DENSE_SUB = 512
 
 
-def _compact_chunks(starts, pix_off, px32, interpret: bool = False):
+def _compact_chunks(starts, pix_off, px32, interpret: bool = False,
+                    stop: str = ""):
     """Per-byte (pix_off, px32) rows -> chunk-dense records in a prefix
     of the SAME length (static shapes; only ~bytes/2.1 slots are real).
     Real records pack at the front via the 2-plane VMEM slide kernel
@@ -583,6 +584,8 @@ def _compact_chunks(starts, pix_off, px32, interpret: bool = False):
     nseg = m // seg
     a = starts.astype(jnp.int32)
     dest = scans.exclusive_cumsum(a)
+    if stop == "cumsum":  # abperf phase ablation stop points
+        return dest, px32
     n_chunks = (dest[-1] + a[-1]).astype(jnp.int32)
     a_r = a.reshape(nseg, seg)
     cnt = jnp.sum(a_r, axis=1)
@@ -592,14 +595,17 @@ def _compact_chunks(starts, pix_off, px32, interpret: bool = False):
     d = jnp.where(a_r != 0,
                   iota - (dest.reshape(nseg, seg) - base[:, None]), 0)
     aux = a_r | (d << 1)
+    if stop == "events":
+        return aux, px32
     off_s, px_s = slide_val2(
         pix_off.astype(jnp.int32).reshape(nseg, seg),
         px32.reshape(nseg, seg), aux, interpret=interpret)
+    if stop == "slide":
+        return off_s, px_s
 
     # assemble: dense per-segment prefixes -> global dense prefix (the
     # windowed row scatter-add is ~free; overlapping windows only add
-    # zeros onto real records)
-    real = iota < cnt[:, None]
+    # zeros onto real records — the slide kernel alive-masks its output)
     dn = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1,), inserted_window_dims=(),
         scatter_dims_to_operand_dims=(0,))
@@ -607,7 +613,7 @@ def _compact_chunks(starts, pix_off, px32, interpret: bool = False):
     def assemble(rows):
         out = jax.lax.scatter_add(
             jnp.zeros((m + seg,), jnp.int32), base[:, None],
-            jnp.where(real, rows, 0), dn,
+            rows, dn,
             indices_are_sorted=True, unique_indices=False,
             mode=jax.lax.GatherScatterMode.CLIP)
         return out[:m]

@@ -237,6 +237,24 @@ def _wordsum_events_words(lo_u, hi_u, lens, seg=0, sub_rows=0):
             axis=2).reshape(nseg, sw)
 
     val = rows2(jnp.where(ev0, val0, 0), jnp.where(ev1, val1, 0))
+
+    if not sub_rows:
+        # flat-form distance/aux build: only val and aux ever need the
+        # interleaved (nseg, 2*seg) row layout — computing d on the flat
+        # (N,) k-planes drops the alive/dest interleaves (each a full
+        # 2N-element shuffle) that the row-form build paid
+        e0 = ev0.astype(jnp.int32)
+        e1 = ev1.astype(jnp.int32)
+        cnt = jnp.sum((e0 + e1).reshape(nseg, seg), axis=1)
+        wbase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
+        wb = jnp.broadcast_to(wbase[:, None], (nseg, seg)).reshape(-1)
+        pm = jax.lax.broadcasted_iota(
+            jnp.int32, (nseg, seg), 1).reshape(-1)  # slot pair base / 2
+        aux0 = e0 | (jnp.where(ev0, 2 * pm - (w0 - wb), 0) << 1)
+        aux1 = e1 | (jnp.where(ev1, 2 * pm + 1 - (w0 + 1 - wb), 0) << 1)
+        return val, rows2(aux0, aux1), cnt, wbase, total, v_all
+
     alive = rows2(ev0.astype(jnp.int32), ev1.astype(jnp.int32))
     dest = rows2(w0, w0 + 1)
 
@@ -262,15 +280,6 @@ def _wordsum_events_words(lo_u, hi_u, lens, seg=0, sub_rows=0):
                       iota_r - (dest.reshape(nsub, r) - base[:, None]), 0)
         aux = (a_r | (d << 1)).reshape(nseg, sw)
         return val, aux, cnt, base, total, v_all
-
-    # word index of each segment's first event = events before it
-    cnt = jnp.sum(alive, axis=1)
-    wbase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                             jnp.cumsum(cnt)[:-1].astype(jnp.int32)])
-    iota = jax.lax.broadcasted_iota(jnp.int32, (nseg, sw), 1)
-    d = jnp.where(alive != 0, iota - (dest - wbase[:, None]), 0)
-    aux = alive | (d << 1)
-    return val, aux, cnt, wbase, total, v_all
 
 
 def _wordsum_slide(val, aux, radix: int = 2, dist_cap: int = 0):
@@ -303,7 +312,7 @@ def _wordsum_slide(val, aux, radix: int = 2, dist_cap: int = 0):
                   jnp.where(in1, a1, jnp.where(here != 0, 0, aux))))
             q <<= 2
             lg += 2
-        return val, aux
+        return jnp.where((aux & 1) != 0, val, 0), aux
 
     bit = 1
     while bit < cap:
@@ -315,7 +324,10 @@ def _wordsum_slide(val, aux, radix: int = 2, dist_cap: int = 0):
         val = jnp.where(mv_in, val_s, val)
         aux = jnp.where(mv_in, aux_s, jnp.where(mv_out, 0, aux))
         bit <<= 1
-    return val, aux
+    # alive-mask (kernels/slide.py does the same): dead slots carry
+    # stale values; masking here lets the assemble skip its full-plane
+    # `iota < cnt` pass
+    return jnp.where((aux & 1) != 0, val, 0), aux
 
 
 def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity,
@@ -327,8 +339,8 @@ def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity,
     little-endian word form (numpy .view(uint8) on the host is free)."""
     nseg, sw = val.shape
     n = nseg * sw // 2
-    real = jax.lax.broadcasted_iota(jnp.int32, (nseg, sw), 1) < cnt[:, None]
-    val = jnp.where(real, val, 0)
+    # dead slots are already zero: the slide (kernel and XLA forms)
+    # alive-masks its output, so no `iota < cnt` pass is needed here
     w_cap = capacity // 4
     if nseg == 1:
         cends = val[0]
@@ -336,8 +348,11 @@ def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity,
         dn = jax.lax.ScatterDimensionNumbers(
             update_window_dims=(1,), inserted_window_dims=(),
             scatter_dims_to_operand_dims=(0,))
+        # every wbase is <= total/4 <= w_cap, so a (w_cap + sw) buffer
+        # always fits the windows without index clipping
         cends = jax.lax.scatter_add(
-            jnp.zeros((2 * n + sw,), jnp.uint32), wbase[:, None], val, dn,
+            jnp.zeros((min(2 * n, w_cap) + sw,), jnp.uint32),
+            wbase[:, None], val, dn,
             indices_are_sorted=True, unique_indices=False,
             mode=jax.lax.GatherScatterMode.CLIP)
     if w_cap <= cends.shape[0]:
@@ -347,10 +362,12 @@ def _wordsum_assemble(val, aux, cnt, wbase, total, v_all, capacity,
             [cends, jnp.zeros((w_cap - cends.shape[0],), jnp.uint32)])
 
     # a final partial word (total % 4 != 0) has no boundary event; its
-    # cumulative value is the grand total of all contributions
+    # cumulative value is the grand total of all contributions (for a
+    # word-aligned total the last word's event already carries exactly
+    # v_all, so the unconditional 1-element patch is a no-op there;
+    # total == 0 clamps to index 0 whose value is 0 == v_all)
     w_last = (total - 1) >> 2
-    cends = jnp.where(
-        jnp.arange(w_cap, dtype=jnp.int32) == w_last, v_all, cends)
+    cends = jax.lax.dynamic_update_slice(cends, v_all[None], (w_last,))
 
     words = cends - jnp.concatenate([jnp.zeros((1,), jnp.uint32), cends[:-1]])
     if words_out:

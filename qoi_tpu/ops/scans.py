@@ -15,9 +15,27 @@ import jax.numpy as jnp
 from .. import format as fmt
 
 
+#: route the big 1-D cumulative ops through blocked_scan (ONE pass over
+#: HBM) instead of jnp.cumsum / lax.cummax (XLA lowers those to ~log2(n)
+#: shifted full-array passes on TPU). The round-1 "cummax ~0" op-table
+#: entry predates the fetch-RTT discovery — those standalone timings
+#: were floor-masked. Flag kept for abperf A/B.
+_BLOCKED_CUM = True
+
+
 def exclusive_cumsum(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    inc = jnp.cumsum(x, axis=axis)
+    if _BLOCKED_CUM and axis in (-1, x.ndim - 1):
+        inc = blocked_scan(lambda a, b: a + b, x)
+    else:
+        inc = jnp.cumsum(x, axis=axis)
     return inc - x
+
+
+def cummax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Inclusive cumulative max over `axis` (see _BLOCKED_CUM)."""
+    if _BLOCKED_CUM and axis in (-1, x.ndim - 1):
+        return blocked_scan(jnp.maximum, x)
+    return jax.lax.cummax(x, axis=axis if axis >= 0 else x.ndim + axis)
 
 
 def chunked_assoc_scan(combine, elems, seg: int = 1 << 16):
@@ -140,7 +158,7 @@ def last_true_index(mask: jnp.ndarray) -> jnp.ndarray:
     n = mask.shape[-1]
     io = jnp.arange(n, dtype=jnp.int32)
     io = jnp.broadcast_to(io, mask.shape)
-    return jax.lax.cummax(jnp.where(mask, io, -1), axis=mask.ndim - 1)
+    return cummax(jnp.where(mask, io, -1), axis=mask.ndim - 1)
 
 
 class RunInfo(NamedTuple):

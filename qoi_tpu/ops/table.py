@@ -79,7 +79,15 @@ def table_hit_local(
     `lax.map` over segments of blocks — bounded live memory and a small
     compile graph (PERF_NOTES.md).
 
-    Returns (hit_in, has_local (N,) bool; s_written/s_hi/s_lo (nb, 64)).
+    Returns (hit_in, has_local (N,) bool; s_written (nb, 64) bool,
+    s_val (nb, 64) int32 bit-pattern of the last written value).
+
+    Round-4 form: the old wrl/svl pair of max families fuses into ONE
+    packed max (last-writer position in the high bits, value-equality in
+    bit 0 — the LSB of the argmax IS the hit), and the per-slot summary
+    VALUE comes from an int8 argmax + one one-hot int32 masked sum
+    instead of two (pos<<16 | half) i32 max families — one full-width
+    plane replaces the hi/lo split everywhere downstream.
     """
     n = keys.shape[0]
     b = block
@@ -91,27 +99,32 @@ def table_hit_local(
     def seg(args):
         k_b, w_b, v_b = args  # (sb, b) each
         sb = k_b.shape[0]
-        v_hi = (v_b >> 16).astype(jnp.int32)
-        v_lo = (v_b & 0xFFFF).astype(jnp.int32)
+        v_i = v_b.view(jnp.int32)
         ii = jax.lax.broadcasted_iota(jnp.int8, (sb, b, b), 1)
         jj = jax.lax.broadcasted_iota(jnp.int8, (sb, b, b), 2)
         mask = (k_b[:, :, None] == k_b[:, None, :]) & (ii > jj) & w_b[:, None, :]
-        wrl = jnp.max(jnp.where(mask, jj, jnp.int8(-1)), axis=2)
-        vmask = mask & (v_b[:, :, None] == v_b[:, None, :])
-        svl = jnp.max(jnp.where(vmask, jj, jnp.int8(-1)), axis=2)
+        # last same-slot writer and its value-equality in ONE max: the
+        # position rides in bits 1.. (unique per j, so no ties) and the
+        # equality bit rides in bit 0 — LSB of the max = hit
+        eqv = (v_b[:, :, None] == v_b[:, None, :]).astype(jnp.int32)
+        jj32 = jax.lax.broadcasted_iota(jnp.int32, (sb, b, b), 2)
+        hmax = jnp.max(jnp.where(mask, (jj32 << 1) | eqv, -1), axis=2)
         smask = (k_b[:, None, :] == slots8[None, :, None]) & w_b[:, None, :]
-        sj32 = jax.lax.broadcasted_iota(jnp.int32, (sb, _SLOTS, b), 2)
-        # position in bits 16.. selects the LAST writer; value in bits 0..15
-        comb_hi = jnp.max(jnp.where(smask, (sj32 << 16) | v_hi[:, None, :], -1), axis=2)
-        comb_lo = jnp.max(jnp.where(smask, (sj32 << 16) | v_lo[:, None, :], -1), axis=2)
-        return (wrl >= 0) & (svl == wrl), wrl >= 0, comb_hi, comb_lo
+        sj8 = jax.lax.broadcasted_iota(jnp.int8, (sb, _SLOTS, b), 2)
+        spos = jnp.max(jnp.where(smask, sj8, jnp.int8(-1)), axis=2)
+        # value of the last writer: one-hot at the argmax position (spos
+        # is a valid writer position whenever >= 0; sj8 never equals -1,
+        # so never-written slots sum to 0 and are masked by spos >= 0)
+        onehot = sj8 == spos[:, :, None]
+        sval = jnp.sum(jnp.where(onehot, v_i[:, None, :], 0), axis=2)
+        return (hmax >= 0) & ((hmax & 1) != 0), hmax >= 0, spos >= 0, sval
 
-    hit_in, has_local, comb_hi, comb_lo = jax.lax.map(seg, (k_s, w_s, v_s))
+    hit_in, has_local, s_written, s_val = jax.lax.map(seg, (k_s, w_s, v_s))
     hit_in = hit_in.reshape(-1)[:n]
     has_local = has_local.reshape(-1)[:n]
-    comb_hi = comb_hi.reshape(-1, _SLOTS)[:nb]
-    comb_lo = comb_lo.reshape(-1, _SLOTS)[:nb]
-    return hit_in, has_local, comb_hi >= 0, comb_hi & 0xFFFF, comb_lo & 0xFFFF
+    s_written = s_written.reshape(-1, _SLOTS)[:nb]
+    s_val = s_val.reshape(-1, _SLOTS)[:nb]
+    return hit_in, has_local, s_written, s_val
 
 
 def _onehot_select_chunked(k_b, plane1, plane2):
@@ -138,6 +151,26 @@ def _onehot_select_chunked(k_b, plane1, plane2):
     return (s1.reshape(-1, b)[:nb], s2.reshape(-1, b)[:nb])
 
 
+def _onehot_select1_chunked(k_b, plane):
+    """Single-plane variant of `_onehot_select_chunked` (the table-hit
+    carry needs only the value plane — see the zero-table identity in
+    `table_hit_carry`). k_b: (nb, b) int8; plane: (nb, 64) int32.
+    Returns (nb, b) int32."""
+    nb, b = k_b.shape
+    ns = -(-nb // _SEG_BLOCKS)
+    bpad = ns * _SEG_BLOCKS - nb
+    k_p = jnp.pad(k_b, ((0, bpad), (0, 0))).reshape(ns, _SEG_BLOCKS, b)
+    p1 = jnp.pad(plane, ((0, bpad), (0, 0))).reshape(ns, _SEG_BLOCKS, _SLOTS)
+    slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
+
+    def seg(args):
+        k, q1 = args
+        onehot = k[:, :, None] == slots8[None, None, :]
+        return jnp.sum(jnp.where(onehot, q1[:, None, :], 0), axis=2)
+
+    return jax.lax.map(seg, (k_p, p1)).reshape(-1, b)[:nb]
+
+
 def table_hit_carry(
     local,
     keys: jnp.ndarray,
@@ -147,52 +180,55 @@ def table_hit_carry(
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Phase B of `table_hit`: cross-block overwrite scan + per-position
     carry selection + hit combination. `local` = table_hit_local output."""
-    hit_in, has_local, s_written, s_hi, s_lo = local
+    hit_in, has_local, s_written, s_val = local
     n = keys.shape[0]
     b = block
     nb = -(-n // b)
     pad = nb * b - n
     k_b = jnp.pad(keys, (0, pad)).reshape(nb, b).astype(jnp.int8)
     v_b = jnp.pad(vals.astype(jnp.uint32), (0, pad)).reshape(nb, b)
-    slots8 = jnp.arange(_SLOTS, dtype=jnp.int8)
 
-    # -- cross-block overwrite scan (incoming state as a virtual block 0)
+    # -- cross-block overwrite scan (incoming state as a virtual block 0).
+    # A flat associative_scan here is ~2*log2(nb) full passes over the
+    # (nb, 64) planes — measured the single most expensive slice of the
+    # whole table stage (hardware r4 ladder: carry+select was +7.5
+    # ms/frame vs +4.5 for the brute in-block families). blocked_scan
+    # makes it ONE sequential pass (lanes = block-columns).
     if incoming is None:
         inc_t = jnp.zeros((_SLOTS,), jnp.uint32)
         inc_w = jnp.zeros((_SLOTS,), bool)
     else:
         inc_t = incoming[0].astype(jnp.uint32)
         inc_w = incoming[1]
-    ext_w = jnp.concatenate([inc_w[None], s_written])
-    ext_hi = jnp.concatenate([(inc_t >> 16).astype(jnp.int32)[None], s_hi])
-    ext_lo = jnp.concatenate([(inc_t & 0xFFFF).astype(jnp.int32)[None], s_lo])
+    # unwritten incoming slots must carry value 0 (the zero-table
+    # identity below relies on it; callers may pass garbage there)
+    inc_v = jnp.where(inc_w, inc_t.view(jnp.int32), 0)
+    ext_w = jnp.concatenate([inc_w[None], s_written]).T          # (64, nb+1)
+    ext_v = jnp.concatenate([inc_v[None], s_val]).T
 
     def combine(a, bb):
-        aw, ah, al = a
-        bw, bh, bl = bb
-        return (aw | bw, jnp.where(bw, bh, ah), jnp.where(bw, bl, al))
+        aw, av = a
+        bw, bv = bb
+        return (aw | bw, jnp.where(bw, bv, av))
 
-    sc_w, sc_hi, sc_lo = jax.lax.associative_scan(
-        combine, (ext_w, ext_hi, ext_lo), axis=0)
+    from .scans import blocked_scan
+
+    sc_w, sc_v = blocked_scan(combine, (ext_w, ext_v))
     # state BEFORE block i = scanned[i] (scanned[0] == incoming)
-    c_w, c_hi, c_lo = sc_w[:-1], sc_hi[:-1], sc_lo[:-1]
+    c_v = sc_v[:, :-1].T                                         # (nb, 64)
 
     # -- exact one-hot select per position: multiply-free masked sum over
-    # the 64 slots (one nonzero per row; int32 exact), chunked by lax.map
-    plane1 = c_w.astype(jnp.int32) * 65536 + c_hi
-    plane2 = c_lo
-    sel1, sel2 = _onehot_select_chunked(k_b, plane1, plane2)
-    carry_written = sel1 >= 65536
-    carry_val = ((sel1 & 0xFFFF).astype(jnp.uint32) << 16) | sel2.astype(jnp.uint32)
+    # the 64 slots (one nonzero per row; int32 exact), chunked by lax.map.
+    # ONE plane suffices for the hit test: a never-written slot selects 0,
+    # and packed(0,0,0,0) == 0 == the zero table entry (pack_rgba note),
+    # so `carry_val == v` is the hit condition written or not.
+    carry_val = _onehot_select1_chunked(k_b, c_v).view(jnp.uint32)
 
-    hit_carry = (jnp.where(carry_written, carry_val == v_b, v_b == 0)
-                 ).reshape(-1)[:n]
+    hit_carry = (carry_val == v_b).reshape(-1)[:n]
     hit = jnp.where(has_local, hit_in, hit_carry)
 
-    final_written = sc_w[-1]
-    final_table = jnp.where(
-        final_written,
-        (sc_hi[-1].astype(jnp.uint32) << 16) | sc_lo[-1].astype(jnp.uint32), 0)
+    final_written = sc_w[:, -1]
+    final_table = jnp.where(final_written, sc_v[:, -1].view(jnp.uint32), 0)
     return hit, (final_table, final_written)
 
 

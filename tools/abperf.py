@@ -199,10 +199,23 @@ def cmd_encode(batch_frames: int = 8):
     # the lanes and HALVES the block count for the summary/carry side.
     # (tb=32 was compile-pathological — the hazard direction is smaller
     # blocks, not bigger.)
+    # Hardware r4 pass 1: tb=128 LOSES (wswk128 207.5 vs wswk 226.6 —
+    # the in-block brute work doubles and dominates the lane-fill win);
+    # wstages (tb=64) 374.2 Mpx/s = 21.4 ms/frame, so compaction-side
+    # is ~15 ms/frame of the 36.6. Pass 2 agenda: the full phase ladder
+    # under honest combined-fetch sync — steq -> strun -> sttabA
+    # (table_hit_local only: the in-block brute families) -> sttab
+    # (+ carry scan + one-hot select) -> wstages (+ classify/emit) ->
+    # wswev (+ events) -> wswevs (+ VMEM slide) -> wswk (full encode);
+    # adjacent differences isolate every phase.
     for name, seg, mode in (("wswk", 4096, "wswk"),
-                            ("wswk128", 4096, "wswk:128"),
+                            ("steq", 0, "steq"),
+                            ("strun", 0, "strun"),
+                            ("sttabA", 0, "sttabA"),
+                            ("sttab", 0, "sttab"),
                             ("wstages", 0, "wstages"),
-                            ("wstages128", 0, "wstages:128")):
+                            ("wswev", 4096, "wswev"),
+                            ("wswevs", 4096, "wswevs")):
         if not _selected(name):
             continue
 
@@ -220,18 +233,34 @@ def cmd_encode(batch_frames: int = 8):
                           + jnp.sum(ch.hi.view(jnp.int32))
                           + jnp.sum(ch.lens))
                     return cs[None].astype(jnp.uint8), cs
+                if m in ("wswev", "wswevs"):
+                    ev = compact._wordsum_events_words(
+                        ch.lo, ch.hi, ch.lens, seg=s)
+                    if m == "wswevs":
+                        from qoi_tpu.kernels.slide import slide_val
+                        val = slide_val(ev[0], ev[1], interpret=_MINI)
+                        cs = (jnp.sum(val.view(jnp.int32))
+                              + jnp.sum(ev[2]) + jnp.sum(ev[3]))
+                    else:
+                        cs = (jnp.sum(ev[0].view(jnp.int32))
+                              + jnp.sum(ev[1]) + jnp.sum(ev[2]))
+                    return cs[None].astype(jnp.uint8), cs
                 return compact.compact_words6_wordsum(
                     ch.lo, ch.hi, ch.lens, cap * 6, seg=s,
                     radix=4 if m == "wsw4" else 2, words_out=True,
                     sub_rows=sr, slide="kernel" if m == "wswk" else "xla",
                     interpret=_MINI)
-            if m in ("steq", "strun", "sttab", "sttab8k"):
+            if m in ("steq", "strun", "sttab", "sttab8k", "sttabA"):
                 from qoi_tpu.ops import scans, table
                 prev = jnp.concatenate(
                     [pipeline._SEED[None].astype(jnp.uint8), p[:-1]], axis=0)
                 eq = jnp.all(p == prev, axis=-1)
                 if m == "steq":
                     cs = jnp.sum(eq.astype(jnp.int32))
+                elif m == "sttabA":
+                    loc = table.table_hit_local(
+                        table.hash64(p), table.pack_rgba(p), write=~eq)
+                    cs = sum(jnp.sum(x.astype(jnp.int32)) for x in loc)
                 elif m == "strun":
                     runs = scans.run_segmentation(eq, last_pos=n - 1)
                     cs = (jnp.sum(runs.run_val) + jnp.sum(runs.flush_val)
@@ -369,8 +398,10 @@ def cmd_encode(batch_frames: int = 8):
                     return outs[0]
 
         t0 = time.perf_counter()
-        if mode in ("stages", "packprep", "packnoop", "wsev", "wsslide",
-                    "steq", "strun", "sttab", "sttab8k", "wstages"):
+        base_mode = mode.split(":")[0].split("@")[0]
+        if base_mode in ("stages", "packprep", "packnoop", "wsev", "wsslide",
+                         "steq", "strun", "sttab", "sttab8k", "sttabA",
+                         "wstages", "wswev", "wswevs"):
             run()  # checksum program, nothing to verify
         else:
             verify(*run())
@@ -581,13 +612,45 @@ def cmd_decode(unique_streams: int = 8):
                 return (jnp.sum(w0) + jnp.sum(pix_off) + jnp.sum(cls)
                         + jnp.sum(d32.view(jnp.int32)))
             m = d.shape[0]
-            px, exit65 = v3._resolve(cls, r6, w0, d32, lit32, m,
-                                     v3._scan_block_len(m))
+            b = v3._scan_block_len(m)
+            if phase in ("p1", "p12"):
+                # resolve internals: pass 1 (the vmapped B-step scan)
+                # alone, then + pass 2 (block-map compose) — the
+                # difference to "resolve" is pass 3 (SWAR apply)
+                nb = m // b
+                meta = (cls | (w0 << 3) | (r6 << 9)).astype(jnp.int32)
+                pm = lambda x: x.reshape(nb, b).T
+                root, val, proot, pval = v3._block_maps(
+                    pm(meta), pm(d32), pm(lit32), nb, b, emit_px=True)
+                cs = (jnp.sum(root.view(jnp.int32))
+                      + jnp.sum(val.view(jnp.int32))
+                      + jnp.sum(proot.view(jnp.int32))
+                      + jnp.sum(pval.view(jnp.int32)))
+                if phase == "p12":
+                    entry, exit65 = v3._compose_entry_states(
+                        root, val, nb, None, return_exit=True)
+                    cs = (cs + jnp.sum(entry.view(jnp.int32))
+                          + jnp.sum(exit65.view(jnp.int32)))
+                return cs
+            px, exit65 = v3._resolve(cls, r6, w0, d32, lit32, m, b)
+            if phase.startswith("compact"):
+                # + chunk compaction (decode_v3._compact_chunks), with
+                # internal stop points: the r3 dense-expansion loss was
+                # +45 ms/frame here (hardware r4: abl compact 61.2 vs
+                # abl resolve 16.1) — find which piece (the m-length
+                # cumsum, the event/aux build, the vmapped 2-plane VMEM
+                # slide, or the assemble scatters)
+                outs = v3._compact_chunks(starts, pix_off, px,
+                                          interpret=_MINI,
+                                          stop=phase.partition("/")[2])
+                return (sum(jnp.sum(o.astype(jnp.int32)) for o in outs)
+                        + jnp.sum(px.view(jnp.int32)))
             return (jnp.sum(px.view(jnp.int32))
                     + jnp.sum(exit65.view(jnp.int32)))
         return jax.jit(lambda dd, cc: jax.vmap(one)(dd, cc))
 
-    for phase in ("fields", "resolve"):
+    for phase in ("fields", "p1", "p12", "resolve", "compact/cumsum",
+                  "compact/events", "compact/slide", "compact"):
         if not _selected("abl " + phase):
             continue
         fa = abl_one(phase)
