@@ -413,8 +413,10 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
         interpret=interpret,
     )(qb, *([po_r] * nblocks), *([d_r] * nblocks))
     landed = landed.reshape(-1)[:n_px_cap]
-    inc = scans.blocked_scan(lambda a, b: a + b, landed)
-    return (inc + seed).view(jnp.uint32)
+    # plain XLA cumsum: in-context A/B (r4) says the blocked form is
+    # ~0.5 ms/frame WORSE here under vmap, while the encode-side scans
+    # want blocked — this one site stays on jnp.cumsum
+    return (jnp.cumsum(landed) + seed).view(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -498,8 +500,10 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     # rows are (tile, subtile) in order, lanes are pixels: row-major
     # flatten IS pixel order
     landed = landed.reshape(-1)[:n_px_cap]
-    inc = scans.blocked_scan(lambda a, b: a + b, landed)
-    return (inc + seed).view(jnp.uint32)
+    # plain XLA cumsum: in-context A/B (r4) says the blocked form is
+    # ~0.5 ms/frame WORSE here under vmap, while the encode-side scans
+    # want blocked — this one site stays on jnp.cumsum
+    return (jnp.cumsum(landed) + seed).view(jnp.uint32)
 
 
 def expand_px_xla(pix_off, px32, n_px_cap: int, seed32=None):
@@ -513,5 +517,4 @@ def expand_px_xla(pix_off, px32, n_px_cap: int, seed32=None):
     d = px_i - prev
     plane = jnp.zeros((n_px_cap,), jnp.int32).at[
         pix_off.astype(jnp.int32)].add(d, mode="drop", indices_are_sorted=True)
-    inc = scans.blocked_scan(lambda a, b: a + b, plane)
-    return (inc + seed).view(jnp.uint32)
+    return (jnp.cumsum(plane) + seed).view(jnp.uint32)

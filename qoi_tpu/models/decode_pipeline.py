@@ -82,7 +82,7 @@ def _initial_hashes(f, valid):
     io = jnp.arange(n, dtype=jnp.int32)
 
     # optimistic alpha for RGB resets: last RGBA literal's alpha, else 255
-    last_rgba = jax.lax.cummax(jnp.where(f["is_rgba"], io, -1))
+    last_rgba = scans.cummax(jnp.where(f["is_rgba"], io, -1))
     prev_rgba = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_rgba[:-1]])
     alpha_opt = jnp.where(
         prev_rgba >= 0, f["b5"][jnp.maximum(prev_rgba, 0)].astype(jnp.int32), 255)
@@ -192,7 +192,7 @@ def _decode_chunks(data: jnp.ndarray, chunks_len, n_px: int):
     marks = jnp.full((n_px,), -1, jnp.int32).at[
         jnp.where(valid, pix_off, n_px)].max(
         jnp.arange(m, dtype=jnp.int32), mode="drop")
-    pixel_chunk = jax.lax.cummax(marks)
+    pixel_chunk = scans.cummax(marks)
     # truncation tolerance (reference qoi.h:544): pixels before any chunk
     # keep the seed; pixels after the last chunk keep the last px
     out = jnp.where(pixel_chunk[:, None] >= 0,

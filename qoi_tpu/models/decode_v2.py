@@ -211,7 +211,7 @@ def _expand(flags, pxa, npix, pix_off, n_px_cap: int):
     io = jnp.arange(m, dtype=jnp.int32)
     marks = jnp.full((n_px_cap,), -1, jnp.int32).at[
         jnp.where(f["starts"], pix_off, n_px_cap)].max(io, mode="drop")
-    pixel_byte = jax.lax.cummax(marks)
+    pixel_byte = scans.cummax(marks)
     idx = jnp.maximum(pixel_byte, 0)
     ok = pixel_byte >= 0
     # per-channel gathers from the channel-major planes

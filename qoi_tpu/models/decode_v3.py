@@ -127,7 +127,7 @@ def _fields(data: jnp.ndarray, chunks_len: jnp.ndarray):
     return starts, cls, r6, d32, lit32, npix
 
 
-def _initial_w(cls, r6, d32, lit32, entry_px32=None):
+def _initial_w(cls, r6, d32, lit32, entry_px32=None, npix=None):
     """Optimistic per-byte written-slot estimate, as ONE affine scan over
     the coupled state (alpha, hash) (v1's _initial_hashes at byte
     granularity, gather-free). The RGB reset's hash needs the running
@@ -188,9 +188,19 @@ def _initial_w(cls, r6, d32, lit32, entry_px32=None):
         va = jnp.where(ra2 != 0, va2, va1)
         return ra | (g << 1) | (t << 2) | (e << 8) | (va << 14)
 
-    ps = scans.blocked_scan(comb, packed)
+    if npix is None:
+        ps = scans.blocked_scan(comb, packed)
+    else:
+        # co-scan the pixel-offset cumsum on the same blocked pass: the
+        # affine leaf and the npix add share one HBM traversal instead
+        # of two separate full-array scans (pix_off = exclusive form)
+        ps, inc = scans.blocked_scan(
+            lambda a, b: (comb(a[0], b[0]), a[1] + b[1]), (packed, npix))
     gs, ts_, es = (ps >> 1) & 1, (ps >> 2) & 63, (ps >> 8) & 63
-    return (gs * entry_hash + ts_ * entry_alpha + es) & 63
+    w = (gs * entry_hash + ts_ * entry_alpha + es) & 63
+    if npix is None:
+        return w
+    return w, inc - npix
 
 
 def _anchored_w(cls, r6, d32, px32, entry_px32=None):
@@ -296,9 +306,13 @@ def _block_maps(meta, d32, lit32, nb: int, b: int, emit_px: bool = False):
         px_root, px_val, troot, tval = state
         meta_i = rec[0]
         cls = meta_i & 7
-        r6 = (meta_i >> 9) & 63
         w = (meta_i >> 3) & 63
-        sel = rows == r6[None, :]  # one (64, nb) compare for both planes
+        # ONE one-hot serves both the INDEX source select and the table
+        # write: src is consumed only at INDEX ops, and an INDEX writes
+        # its own read slot (w == r6 by the table invariant — both
+        # _initial_w and _anchored_w anchor e = r6 there), so the slot
+        # read IS the slot written; other classes ignore src entirely
+        sel = rows == w[None, :]
         src_root = jnp.sum(jnp.where(sel, troot, 0), axis=0, dtype=troot.dtype)
         src_val = jnp.sum(jnp.where(sel, tval, 0), axis=0, dtype=tval.dtype)
         new_root, new_val = _step_common(
@@ -306,7 +320,7 @@ def _block_maps(meta, d32, lit32, nb: int, b: int, emit_px: bool = False):
         live = cls != _CLS_ID
         px_root = jnp.where(live, new_root, px_root)
         px_val = jnp.where(live, new_val, px_val)
-        mask = (rows == w[None, :]) & live[None, :]
+        mask = sel & live[None, :]
         ys = (px_root, px_val) if emit_px else None
         return (px_root, px_val,
                 jnp.where(mask, new_root[None, :], troot),
@@ -423,13 +437,13 @@ def _numeric_scan(meta, d32, lit32, entry, nb: int):
         px_val, tval = state
         meta_i = rec[0]
         cls = meta_i & 7
-        r6 = (meta_i >> 9) & 63
         w = (meta_i >> 3) & 63
-        src_val = _select_row(rows, r6, tval)
+        sel = rows == w[None, :]  # src slot == write slot (see _block_maps)
+        src_val = jnp.sum(jnp.where(sel, tval, 0), axis=0, dtype=tval.dtype)
         _, new_val = _step_common(rec, None, px_val, None, src_val)
         live = cls != _CLS_ID
         px_val = jnp.where(live, new_val, px_val)
-        mask = (rows == w[None, :]) & live[None, :]
+        mask = sel & live[None, :]
         tval = jnp.where(mask, new_val[None, :], tval)
         return (px_val, tval), px_val
 
@@ -517,9 +531,9 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     m = data.shape[0]
     b = _scan_block_len(m)
     starts, cls, r6, d32, lit32, npix = _fields(data, chunks_len)
-    pix_off = scans.exclusive_cumsum(npix)
     entry_px32 = None if entry65 is None else entry65[0]
-    w0 = jnp.where(starts, _initial_w(cls, r6, d32, lit32, entry_px32), 0)
+    w0i, pix_off = _initial_w(cls, r6, d32, lit32, entry_px32, npix=npix)
+    w0 = jnp.where(starts, w0i, 0)
 
     def round_(w, prev_bad):
         px, exit65 = _resolve(cls, r6, w, d32, lit32, m, b, entry65, apply)

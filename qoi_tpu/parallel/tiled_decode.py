@@ -101,7 +101,7 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     pix_off = pix_base + scans.exclusive_cumsum(f["npix"])
 
     # optimistic alpha: cross-shard last-RGBA carry
-    last_rgba_l = jax.lax.cummax(jnp.where(f["is_rgba"], io, -1))
+    last_rgba_l = scans.cummax(jnp.where(f["is_rgba"], io, -1))
     alpha_fin = jnp.where(last_rgba_l[-1] >= 0,
                           f["b5"][jnp.maximum(last_rgba_l[-1], 0)].astype(jnp.int32), -1)
     alpha_fins = jax.lax.all_gather(alpha_fin, axis)         # (S,)

@@ -208,16 +208,25 @@ def cmd_encode(batch_frames: int = 8):
     # (+ carry scan + one-hot select) -> wstages (+ classify/emit) ->
     # wswev (+ events) -> wswevs (+ VMEM slide) -> wswk (full encode);
     # adjacent differences isolate every phase.
+    # *xc = same variant with scans._BLOCKED_CUM=False (jnp.cumsum /
+    # lax.cummax instead of blocked_scan): the standalone probe says
+    # XLA's native cumsum is fine — in-context A/B decides the default
     for name, seg, mode in (("wswk", 4096, "wswk"),
+                            ("wswkxc", 4096, "wswk"),
                             ("steq", 0, "steq"),
                             ("strun", 0, "strun"),
+                            ("strunxc", 0, "strun"),
                             ("sttabA", 0, "sttabA"),
                             ("sttab", 0, "sttab"),
                             ("wstages", 0, "wstages"),
                             ("wswev", 4096, "wswev"),
+                            ("wswevxc", 4096, "wswev"),
                             ("wswevs", 4096, "wswevs")):
         if not _selected(name):
             continue
+        from qoi_tpu.ops import scans as _qsc
+        _qsc._BLOCKED_CUM = not name.endswith("xc")
+        jax.clear_caches()
 
         def enc_body(p, s=seg, m=mode):
             if m.startswith("wstages") or m.startswith("wsw"):
@@ -681,54 +690,52 @@ def cmd_decode(unique_streams: int = 8):
               f"{mn*1e3/(2*len(streams)):.1f}/frame) "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
 
-    # scan unroll sweep: the sequential scan steps (pass-1 B=8192, the
-    # blocked w-scans at 512) are latency-bound; unroll amortizes the
-    # per-step bookkeeping. (p1, blocked) pairs; default is (4, 4).
-    from qoi_tpu.ops import scans as qsc
-    for p1u, bsu in ((1, 1), (8, 8)):
-        v3._P1_UNROLL, qsc._UNROLL = p1u, bsu
-        jax.clear_caches()
-        fu = jax.jit(functools.partial(
-            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
-            accum="wide"))
-        bench(f"b16 unroll{p1u}/{bsu}", lambda d, c, f=fu: f(d, c),
-              dup(db, 2), dup(dc, 2))
-    v3._P1_UNROLL, qsc._UNROLL = 4, 4
-    jax.clear_caches()
+    # CLOSED sweeps (hardware, see PERF_NOTES): unroll 1 best (4/8 lose
+    # 10/25%), nblocks=4 neutral at tile 1024, etile 2048/4096 alone
+    # lose ~1-3% (nb2 doubles the window rows), b32 chunked16 +1.5%
+    # (not worth doubling the batch), dense expansion loses 2.1x
+    # (vmapped scatter catastrophe + the acc-width invariance).
 
-    # expand DMA-window geometry in-context: nblocks=4 (4x16-row blocks,
-    # half the HBM traffic + scratch of the r2 2x64 shape) vs 2
-    for nbl in (2, 4):
-        v3._EXPAND_NBLOCKS = nbl
-        jax.clear_caches()
-        fnb = jax.jit(functools.partial(
-            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
-            accum="wide"))
-        bench(f"b16 wide nb{nbl}", lambda d, c, f=fnb: f(d, c),
-              dup(db, 2), dup(dc, 2))
-    v3._EXPAND_NBLOCKS = 4
-    jax.clear_caches()
-
-    # batch 32 via the chunked program (a flat b32 vmap OOMs at compile:
-    # 21 G of per-lane intermediates vs the 15.75 G roof)
-    f32c = jax.jit(functools.partial(
-        v3._decode_device_batch_chunked, n_px_cap=npc,
-        use_kernel=not _MINI, accum="wide", sub_batch=16))
-    bench("b32 chunked16", lambda d, c: f32c(d, c), dup(db, 4), dup(dc, 4))
-
-    # expand-tile re-sweep: with fine buckets + B=8192 the expand
-    # kernel is the dominant decode phase (~20.7 of 40.2 ms/frame —
-    # fields 7.6, resolve 10.4, cert ~1.5); etile 1024 won the r2
-    # sweeps, retest under the new balance
-    for etile in (2048, 4096):
-        v3._EXPAND_TILE = etile
+    # combined expand-geometry sweep: bigger tiles cut the grid-step
+    # count (~8100 steps/frame at 1024) while nblocks>2 keeps the DMA
+    # window rows small — tile 2048/nb4 has the SAME 128-row window as
+    # the production 1024/nb2 with half the steps; 4096/nb7 also halves
+    # per-px DMA (56 vs 128 B/px)
+    for etile, nbl in ((2048, 4), (2048, 7), (4096, 7)):
+        v3._EXPAND_TILE, v3._EXPAND_NBLOCKS = etile, nbl
         jax.clear_caches()
         fe = jax.jit(functools.partial(
             v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
             accum="wide"))
-        bench(f"b16 wide etile={etile}", lambda d, c, f=fe: f(d, c),
+        bench(f"b16 t{etile} nb{nbl}", lambda d, c, f=fe: f(d, c),
               dup(db, 2), dup(dc, 2))
-    v3._EXPAND_TILE = 1024
+    v3._EXPAND_TILE, v3._EXPAND_NBLOCKS = 1024, 2
+    jax.clear_caches()
+
+    # resolve scan-cap re-sweep under the r4 balance (vectorized pass 3
+    # + cheaper compose may have moved the r3 optimum of 8192)
+    for bmax in (4096, 16384):
+        v3._SCAN_B_MAX = bmax
+        jax.clear_caches()
+        fb = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="wide"))
+        bench(f"b16 B{bmax}", lambda d, c, f=fb: f(d, c),
+              dup(db, 2), dup(dc, 2))
+    v3._SCAN_B_MAX = 8192
+    jax.clear_caches()
+
+    # _BLOCKED_CUM in-context A/B: the standalone probe says XLA's
+    # native batched cumsum is FINE (1.9 vs blocked 2.3 ms/frame) —
+    # flip the flag to see the in-context decode delta
+    from qoi_tpu.ops import scans as qsc
+    qsc._BLOCKED_CUM = False
+    jax.clear_caches()
+    fxc = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="wide"))
+    bench("b16 xla-cumsum", lambda d, c: fxc(d, c), dup(db, 2), dup(dc, 2))
+    qsc._BLOCKED_CUM = True
     jax.clear_caches()
 
 
