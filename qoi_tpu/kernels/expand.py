@@ -261,9 +261,19 @@ def _make_kernel(tile: int, sub: int, accum: str = "sum"):
     return kernel
 
 
+def _wspan_sub(sub: int) -> int:
+    """Exact landing-row span of one subtile's bytes in the wide layout:
+    with r* = last row whose first offset <= the subtile base, rows
+    r*+1+k have first offsets > base + 25k (>= 25 chunk starts per
+    128-byte row, each advancing >= 1 px), so landing rows stop at
+    k = ceil(sub/25) - 1; plus the defensive r*-1 start row (a start
+    with offset == base whose tail bytes carry base+npix into r*)."""
+    return -(-sub // 25) + 2
+
+
 def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                       dense: bool = False, nblocks: int = 2,
-                      noop: bool = False):
+                      noop: bool = False, exact: bool = False):
     """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
 
     The narrow layout's (sub, 64) compare/select/add values pad their
@@ -275,6 +285,15 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
     (typical photo content: ~2 B/px => 2 rows vs the worst-case-sized
     static window); the alignment slack and worst-case span are paid
     only by content that needs them.
+
+    `exact` drops the 8-row sublane-alignment slack entirely: HALF of
+    the static window's frows=16 rows (at sub=128) exist only because
+    Mosaic dynamic sublane slices must start 8-aligned, yet the real
+    landing span is _wspan_sub(128) = 8 rows starting at row cb-2. A
+    16-row 8-aligned slice rotated by `pltpu.roll` (traced shift)
+    re-bases the window at exactly cb-2, so the accumulate touches only
+    the span rows — half the compare/select/add volume of the r3
+    production window, at the price of two sublane rotates per subtile.
     """
     if nblocks == 2:
         blk = _wbrows_dense(tile) if dense else _wbrows(tile)
@@ -285,6 +304,9 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
     frows = _wfrows_dense(sub) if dense else _wfrows(sub)
     nsub = tile // sub
     ngmax = wrows // 8
+    span = (-(-sub // _WROW) + 2) if dense else _wspan_sub(sub)
+    lwin = -(-(span + 7) // 8) * 8  # rotate window: span + max offset 7
+    assert lwin <= wrows
 
     def kernel(qb_ref, *refs):
         po_refs = refs[:nblocks]
@@ -322,7 +344,23 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                     wpo[pl.ds(row0, 8), 0:sub]
                     + wd[pl.ds(row0, 8), 0:sub], axis=0)
                 continue
-            if not dyn:
+            if exact:
+                # exact window: re-base a 16-row (lwin) 8-aligned slice
+                # at row cb-2 via a traced-shift sublane rotate; only
+                # the real `span` rows enter the accumulate. Wrap rows
+                # (rotated in from [0, o)) are span rows [lwin-o, lwin),
+                # never read.
+                r_lo = jnp.clip(cb - 2, 0, wrows - span)
+                g8 = jnp.clip(r_lo >> 3, 0, (wrows - lwin) // 8) * 8
+                o = r_lo - g8                     # in [0, lwin - span]
+                sh = (lwin - o) % lwin            # nonneg spelling of -o
+                fpo = pltpu.roll(wpo[pl.ds(g8, lwin), :], sh, 0)
+                fd = pltpu.roll(wd[pl.ds(g8, lwin), :], sh, 0)
+                acc = jnp.zeros((sub, _WROW), jnp.int32)
+                for r in range(span):
+                    acc = acc + jnp.where(fpo[r:r + 1, :] == p_col,
+                                          fd[r:r + 1, :], 0)
+            elif not dyn:
                 row0 = jnp.clip((cb - 2) >> 3,
                                 0, (wrows - frows) // 8) * 8
                 fpo = wpo[pl.ds(row0, frows), :]
@@ -359,8 +397,8 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
 def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                     tile: int, sub: int, seed32, dyn: bool,
                     dense: bool = False, nblocks: int = 2,
-                    noop: bool = False):
-    """Wide-layout driver for expand_px (accum in {"wide", "dyn"})."""
+                    noop: bool = False, exact: bool = False):
+    """Wide-layout driver for expand_px (accum in {"wide", "dyn", "xw"})."""
     if nblocks == 2:
         blk = _wbrows_dense(tile) if dense else _wbrows(tile)
     else:
@@ -406,7 +444,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                         pltpu.VMEM((nblocks * blk, _WROW), jnp.int32)],
     )
     landed = pl.pallas_call(
-        _make_wide_kernel(tile, sub, dyn, dense, nblocks, noop),
+        _make_wide_kernel(tile, sub, dyn, dense, nblocks, noop, exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
@@ -433,11 +471,12 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     its value; pixels before any chunk get the seed (truncation
     tolerance, reference qoi.h:544). Returns (n_px_cap,) u32.
     """
-    if accum in ("wide", "dyn", "wnoop"):
+    if accum in ("wide", "dyn", "wnoop", "xw"):
         return _expand_px_wide(pix_off, px32, n_px_cap, interpret,
                                tile, sub, seed32, dyn=accum == "dyn",
                                dense=dense, nblocks=nblocks,
-                               noop=accum == "wnoop")
+                               noop=accum == "wnoop",
+                               exact=accum == "xw")
     assert not dense, "dense geometry is wide-layout only"
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows

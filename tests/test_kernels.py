@@ -94,7 +94,7 @@ def _synth_records(m, seed, max_run=62):
     return pix_off, px
 
 
-@pytest.mark.parametrize("accum", ["sum", "wide", "dyn"])
+@pytest.mark.parametrize("accum", ["sum", "wide", "dyn", "xw"])
 @pytest.mark.parametrize("m,cap,seed", [
     (600, 512, 0),        # truncation: offsets overflow the cap
     (6000, 4096, 1),
@@ -157,7 +157,8 @@ def test_expand_kernel_big_tile():
 
 @pytest.mark.parametrize("geometry", [
     "max_runs", "alternating", "dot_dense",
-    "max_runs_dyn", "alternating_dyn", "alternating_wide"])
+    "max_runs_dyn", "alternating_dyn", "alternating_wide",
+    "max_runs_xw", "alternating_xw"])
 def test_expand_kernel_adversarial_geometry(geometry):
     """Anchor/window edge geometries for the vectorized in-kernel anchor
     path: max-sparsity (every byte a 62-run: each output subtile's window

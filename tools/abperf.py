@@ -582,6 +582,14 @@ def cmd_decode(unique_streams: int = 8):
         accum="wide"))
     bench("b16 flat wide", lambda d, c: f16w(d, c), dup(db, 2), dup(dc, 2))
 
+    # exact-window accumulate: pltpu.roll re-bases the fine window at
+    # row cb-2 exactly — 8 span rows instead of the 16-row aligned
+    # window (half the compare/select/add volume, +2 rotates/subtile)
+    f16x = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="xw"))
+    bench("b16 flat xw", lambda d, c: f16x(d, c), dup(db, 2), dup(dc, 2))
+
     # pass-3 structure: "scan" = the original numeric re-scan (r3
     # production), "vector" (the new default, in f16w above) = pass-1
     # symbolic px entries + one fused SWAR application of the pass-2

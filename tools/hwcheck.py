@@ -96,11 +96,29 @@ def main() -> int:
     p_cap = 1 << 20
     ref_px = np.asarray(jax.device_get(kexpand.expand_px_xla(
         jnp.asarray(pix_off), jnp.asarray(px32), p_cap)))
-    got_px = np.asarray(jax.device_get(kexpand.expand_px(
-        jnp.asarray(pix_off), jnp.asarray(px32), p_cap, accum="wide")))
-    ok = np.array_equal(got_px, ref_px)
-    log(f"expand wide: {'OK' if ok else 'MISMATCH'}")
-    fails += not ok
+    for acc in ("wide", "xw"):
+        got_px = np.asarray(jax.device_get(kexpand.expand_px(
+            jnp.asarray(pix_off), jnp.asarray(px32), p_cap, accum=acc)))
+        ok = np.array_equal(got_px, ref_px)
+        log(f"expand {acc}: {'OK' if ok else 'MISMATCH'}")
+        fails += not ok
+    # xw's rotate-window edges: max-sparsity 62-runs (anchor rows far
+    # apart, offset o swings across the full [0, 8] range) and 5 B/px
+    # density (span rows all live)
+    for nm, (pp, mr) in {"sparse62": (62, 62), "dense1px": (1, 1)}.items():
+        per = rng.integers(1, mr + 1, size=m).astype(np.int32)
+        if pp == 62:
+            per[:] = 62
+        po2 = np.concatenate([[0], np.cumsum(per)[:-1]]).astype(np.int32)
+        px2 = rng.integers(0, 1 << 32, size=m, dtype=np.uint64).astype(
+            np.uint32)
+        ref2 = np.asarray(jax.device_get(kexpand.expand_px_xla(
+            jnp.asarray(po2), jnp.asarray(px2), p_cap)))
+        got2 = np.asarray(jax.device_get(kexpand.expand_px(
+            jnp.asarray(po2), jnp.asarray(px2), p_cap, accum="xw")))
+        ok = np.array_equal(got2, ref2)
+        log(f"expand xw/{nm}: {'OK' if ok else 'MISMATCH'}")
+        fails += not ok
 
     # end-to-end splitd encode vs the oracle
     w, h = 512, 384
