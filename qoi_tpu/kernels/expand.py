@@ -461,7 +461,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     "n_px_cap", "interpret", "tile", "sub", "accum", "dense", "nblocks"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
               tile: int = _TILE, sub: int = _SUB, seed32=None,
-              accum: str = "wide", dense: bool = False, nblocks: int = 2):
+              accum: str = "xw", dense: bool = False, nblocks: int = 2):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after

@@ -639,7 +639,7 @@ def _compact_chunks(starts, pix_off, px32, interpret: bool = False,
 
 
 def _expand_packed(starts, px32, pix_off, n_px_cap: int,
-                   use_kernel: bool = False, accum: str = "wide",
+                   use_kernel: bool = False, accum: str = "xw",
                    dense: bool = False, interpret: bool = False):
     """Run expansion via the telescoping-delta formulation
     (kernels/expand.py): out[p] = seed + sum of px-deltas over bytes
@@ -678,7 +678,7 @@ def _use_kernel_default() -> bool:
     "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply"))
 def _decode_device(data, chunks_len, n_px_cap: int,
                    max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False,
-                   accum: str = "wide", dense: bool = False,
+                   accum: str = "xw", dense: bool = False,
                    apply: str = "vector"):
     px, starts, npix, pix_off, conv, rounds, _ = _decode_core(
         data, chunks_len, max_rounds, apply=apply)
@@ -691,7 +691,7 @@ def _decode_device(data, chunks_len, n_px_cap: int,
     "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply"))
 def _decode_device_batch(data, chunks_len, n_px_cap: int,
                          max_rounds: int = _MAX_ROUNDS,
-                         use_kernel: bool = False, accum: str = "wide",
+                         use_kernel: bool = False, accum: str = "xw",
                          dense: bool = False, apply: str = "vector"):
     return jax.vmap(
         lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel,
@@ -704,7 +704,7 @@ def _decode_device_batch(data, chunks_len, n_px_cap: int,
 def _decode_device_batch_chunked(data, chunks_len, n_px_cap: int,
                                  max_rounds: int = _MAX_ROUNDS,
                                  use_kernel: bool = False,
-                                 sub_batch: int = 8, accum: str = "wide"):
+                                 sub_batch: int = 8, accum: str = "xw"):
     """Large-batch decode as ONE program: lax.map over vmapped sub-batches.
 
     A flat vmap over B streams holds every stream's intermediates live at
