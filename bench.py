@@ -154,17 +154,19 @@ def main() -> None:
             raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
             bodies[i, : len(raw)] = raw
             clens[i] = len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
-        # decode batch = 2x the uploaded streams, duplicated ON DEVICE
+        # decode batch = 4x the uploaded streams, duplicated ON DEVICE
         # (the ~3 MB/s host tunnel makes re-uploading 134 MB pointless):
-        # batch 16 measured ~7% over batch 8
+        # batch 16 measured ~7% over batch 8; batch 32 runs as ONE
+        # chunked program (decode_group sub_batch=16) at bounded peak
+        # HBM, ~+1.5% more and half the per-rep fetch-RTT share
         db = jax.device_put(
-            jnp.concatenate([jnp.asarray(bodies)] * 2, axis=0))
-        dc = jax.device_put(jnp.asarray(np.concatenate([clens, clens])))
+            jnp.concatenate([jnp.asarray(bodies)] * 4, axis=0))
+        dc = jax.device_put(jnp.asarray(np.concatenate([clens] * 4)))
         return db, dc
 
     dbatch, dclens = to_device_batch(streams)
     mbatch, mclens = to_device_batch(streams_mixed)
-    dec_batch = 2 * BATCH
+    dec_batch = 4 * BATCH
 
     use_kernel = dev.platform == "tpu"
 
@@ -188,10 +190,19 @@ def main() -> None:
         m = min(npc, want.shape[0])
         return jnp.all(out[:n] == want[:m][:n]) if m >= n else jnp.bool_(False)
 
+    # ONE fetched array per rep carrying px0 AND the convergence flag:
+    # the old per-rep `device_get(conv)` + `out[0, :1]` sync was TWO
+    # serial fetch RTTs (~24 ms each, PERF_NOTES fetch-RTT discovery) —
+    # ~8% of a decode batch
+    @jax.jit
+    def sync_word(out, conv):
+        return jnp.stack([out[0, 0], conv.astype(jnp.uint32)])
+
     def bench_decode(label, db, dc, srcs):
         def decode_frames():
             out, conv = decode_batch(db, dc)
-            assert bool(jax.device_get(conv)), "decode fixpoint non-convergence"
+            s = np.asarray(jax.device_get(sync_word(out, conv)))
+            assert bool(s[1]), "decode fixpoint non-convergence"
             return out
 
         t0 = time.perf_counter()
@@ -211,8 +222,10 @@ def main() -> None:
         log(f"verified: all {dec_batch} {label} decodes pixel-identical "
             f"to source (on device)")
 
+        # decode_frames already fetched its combined sync word; hand the
+        # sync harness a trivial host array so it adds no second RTT
         ddt = profiling.device_sync_time(
-            lambda: decode_frames()[0, :1], reps=REPS)
+            lambda: (decode_frames(), np.zeros(1))[1], reps=REPS)
         mpxs = (dec_batch * n / 1e6) / ddt
         sol = profiling.decode_sol_model(dec_batch * n, 4)
         log(f"decode[{label}] {dec_batch}x4K RGBA: {ddt * 1e3:.2f} ms/batch, "

@@ -733,16 +733,26 @@ def unpack_px32(px32: np.ndarray) -> np.ndarray:
 
 def decode_group(data: jnp.ndarray, chunks_len: jnp.ndarray, n_px_cap: int,
                  use_kernel: Optional[bool] = None,
-                 max_rounds: int = _MAX_ROUNDS):
+                 max_rounds: int = _MAX_ROUNDS, sub_batch: int = 16):
     """Batched device decode for same-bucket streams. data: (B, M) uint8;
     chunks_len: (B,) int32. Returns (px32 (B, n_px_cap) uint32, converged
     (B,) bool). `use_kernel` selects the Pallas expand kernel (defaults
-    to auto: on for real TPU)."""
+    to auto: on for real TPU). Batches larger than `sub_batch` run as
+    ONE program that lax.maps vmapped sub-batches: a flat vmap of 16 4K
+    streams already nears the HBM roof, while the chunked form bounds
+    peak memory at `sub_batch` lanes and still pays the per-program
+    floor once (hardware: b32 chunked16 ~ +1.5% over b16 flat)."""
     if use_kernel is None:
         use_kernel = _use_kernel_default()
-    out, conv, _ = _decode_device_batch(data, chunks_len, n_px_cap,
-                                        max_rounds=max_rounds,
-                                        use_kernel=use_kernel)
+    b = data.shape[0]
+    if b > sub_batch and b % sub_batch == 0:
+        out, conv, _ = _decode_device_batch_chunked(
+            data, chunks_len, n_px_cap, max_rounds=max_rounds,
+            use_kernel=use_kernel, sub_batch=sub_batch)
+    else:
+        out, conv, _ = _decode_device_batch(data, chunks_len, n_px_cap,
+                                            max_rounds=max_rounds,
+                                            use_kernel=use_kernel)
     return out, conv
 
 

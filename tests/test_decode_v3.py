@@ -284,3 +284,26 @@ def test_resolve_vector_apply_matches_scan(entry):
                                         entry65=e65, apply="vector")
         np.testing.assert_array_equal(np.asarray(px_s), np.asarray(px_v))
         np.testing.assert_array_equal(np.asarray(ex_s), np.asarray(ex_v))
+
+
+def test_v3_group_auto_chunks_large_batches():
+    """decode_group routes batches larger than sub_batch through the
+    chunked one-program form (the bench shape) with identical pixels."""
+    imgs = [testimages.mixed(40, 24, 4, seed=20 + i) for i in range(2)]
+    streams = [oracle.encode(im, fmt.StreamDesc(40, 24, 4)) for im in imgs]
+    cap = v1.bucket_size(max(len(s) - fmt.HEADER_SIZE for s in streams))
+    data = np.zeros((2, cap), np.uint8)
+    clens = np.zeros((2,), np.int32)
+    for i, s in enumerate(streams):
+        body = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+        data[i, : len(body)] = body
+        clens[i] = len(s) - 22
+    npc = v1.bucket_size(40 * 24)
+    d8 = jnp.concatenate([jnp.asarray(data)] * 4, axis=0)
+    c8 = jnp.asarray(np.concatenate([clens] * 4))
+    px32, conv = decode_v3.decode_group(d8, c8, npc, sub_batch=2)
+    assert px32.shape[0] == 8 and bool(np.all(np.asarray(conv)))
+    for i in range(8):
+        got = decode_v3.unpack_px32(np.asarray(px32[i]))[: 40 * 24]
+        np.testing.assert_array_equal(
+            got.reshape(24, 40, 4), imgs[i % 2])

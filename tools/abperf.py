@@ -726,8 +726,7 @@ def cmd_decode(unique_streams: int = 8):
         v3._SCAN_B_MAX = bmax
         jax.clear_caches()
         fb = jax.jit(functools.partial(
-            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
-            accum="wide"))
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
         bench(f"b16 B{bmax}", lambda d, c, f=fb: f(d, c),
               dup(db, 2), dup(dc, 2))
     v3._SCAN_B_MAX = 8192
