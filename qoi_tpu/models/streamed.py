@@ -92,9 +92,20 @@ def encode(pixels: np.ndarray, desc: fmt.StreamDesc,
 
     pad = np.zeros((n_tiles * t - n, 4), np.uint8)
     px_all = jax.device_put(jnp.asarray(np.concatenate([px4, pad])))
-    # output capacity: 6 bytes/px worst case for the whole image, plus
-    # one tile's slack so the last tile's full-capacity write fits
-    out_buf = jnp.zeros((n_tiles * t * 6 + 6 * t,), jnp.uint8)
+    # output capacity: the TRUE stream worst case is 5 B/px (chunks
+    # partition the pixels, each covers >= 1 px and is <= 5 bytes — a
+    # run-flush byte is its own RUN chunk covering the run's pixels, so
+    # the 6-byte [flush + RGBA] pixel slot never exceeds 5 B/px
+    # globally; cross-tile pending runs only DEFER bytes), plus one
+    # tile's 6t staging slack for the full-capacity tile writes. The
+    # old 6 B/px capacity exceeded 2^31 u8 elements past ~358 Mpx and
+    # XLA's s32 index arithmetic corrupts beyond that — the 400 Mpx
+    # envelope run caught it (byte mismatch; decode's u32 plane stays
+    # under 2^31 and was exact). 5 B/px keeps the format's legal max
+    # (400 Mpx, qoi.h:329-332) at ~2.04e9 < 2^31.
+    cap = 5 * n_tiles * t + 6 * t
+    assert cap < (1 << 31), "encode output buffer exceeds s32 index space"
+    out_buf = jnp.zeros((cap,), jnp.uint8)
     carry = pipeline.EncoderCarry.seed()
     cursor = jnp.int32(0)
     for k in range(n_tiles):

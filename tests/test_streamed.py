@@ -141,3 +141,18 @@ def test_fetch_prefix_edges():
             assert (got == np.arange(total, dtype=np.uint32)).all()
     finally:
         fetch.PIECE = old
+
+
+def test_streamed_encode_capacity_fits_s32_at_format_max():
+    """The device output buffer must stay under 2^31 u8 elements for the
+    LARGEST legal image (400 Mpx, reference qoi.h:329-332): XLA's s32
+    index arithmetic corrupts past that (caught by the 400 Mpx envelope
+    run — the old 6 B/px capacity was ~2.44e9). The 5 B/px bound is the
+    true stream worst case: chunks partition the pixels, each covers
+    >= 1 px at <= 5 bytes."""
+    n = 399974400  # 25600 x 15624, the widest-legal 400 Mpx shape
+    t = 1 << 22
+    n_tiles = -(-n // t)
+    cap = 5 * n_tiles * t + 6 * t
+    assert cap >= 5 * n  # still a valid worst-case stream bound
+    assert cap < (1 << 31)
