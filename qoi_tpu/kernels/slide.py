@@ -30,6 +30,22 @@ from jax.experimental import pallas as pl
 #: (8, 8192)
 _ROWS = 8
 
+#: scoped-VMEM budget for one grid step's working set. The compiler's
+#: stack limit is 16 MB; the observed allocation is ~9.4 buffers of
+#: (rows, sw) i32 (in/out double-buffering + shift temporaries):
+#: sw=73728 at rows=8 OOM'd at 22.19M while sw=40960 at rows=8 (12.3M)
+#: ran (hardware r4). Mosaic needs the row block divisible by 8, so 8
+#: is the floor — sw beyond ~49k lanes cannot fit this kernel at all
+#: (seg <= ~20480 is the kernel-slide ceiling; the r4 seg sweep peaked
+#: there at 362.7 Mpx/s encode).
+_VMEM_BUDGET = 15 << 20
+
+
+def _auto_rows(rows: int, sw: int, planes: int = 1) -> int:
+    while rows > 8 and rows * sw * 4 * 10 * planes > _VMEM_BUDGET:
+        rows >>= 1
+    return rows
+
 
 def _slide_kernel(val_ref, aux_ref, out_ref, *, sw: int):
     val = val_ref[...].astype(jnp.int32)
@@ -94,6 +110,7 @@ def slide_val2(val: jnp.ndarray, val2: jnp.ndarray, aux: jnp.ndarray,
     """Like slide_val but carries TWO value planes through the same
     moves. Returns (val', val2') as int32 planes."""
     nseg, sw = val.shape
+    rows = _auto_rows(rows, sw, planes=2)
     npad = -(-nseg // rows) * rows - nseg
 
     def pad(x):
@@ -126,6 +143,7 @@ def slide_val(val: jnp.ndarray, aux: jnp.ndarray,
     sw) int32 with alive in bit 0 and the distance in bits 1..; both
     exactly as `ops/compact._wordsum_events_words` builds them."""
     nseg, sw = val.shape
+    rows = _auto_rows(rows, sw)
     # Mosaic needs the block's second-minor dim divisible by 8: pad with
     # zero rows (dead events — the assemble masks by per-segment counts)
     # and slice back after

@@ -326,7 +326,7 @@ def encode_device_pack(px4, n_valid, *, window: str = "dyn",
 
 @functools.partial(jax.jit, static_argnames=("seg", "table_block", "slide"))
 def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
-                          seg: int = 4096,
+                          seg: int = 20480,
                           table_block: int = table._BLOCK,
                           slide: str = None):
     """Device-resident encode as ONE fused program: word-form staging
@@ -336,7 +336,11 @@ def encode_device_wordsum(px4: jnp.ndarray, n_valid: jnp.ndarray,
     fastest measured single-chip structure (hardware r3): one program
     per frame, frames dispatched back-to-back and synced with ONE
     combined fetch (the ~24-45 ms 'per-program floor' is almost
-    entirely D2H fetch round-trip — PERF_NOTES.md).
+    entirely D2H fetch round-trip — PERF_NOTES.md). seg=20480 is the
+    r4 sweep winner (305 -> 363 Mpx/s over 4096: the VMEM slide makes
+    long rows nearly free while nseg falls 2025 -> 405, shrinking the
+    assemble scatter's row count 5x; ~20480 is also the slide kernel's
+    VMEM ceiling). Ragged n pads with l=0 records (ops/compact).
     Returns (words (6*N//4,) uint32 — the stream bytes little-endian,
     numpy .view(uint8) on the host is free — and total int32)."""
     if slide is None:

@@ -55,7 +55,7 @@ def _enc_tile_at(out_buf, px_all, cursor, off_px, n_total, carry, t: int):
         table_in=(carry.table, carry.written),
         contains_last=contains_last, form="words")
     buf, total = compact.compact_words6_wordsum(
-        ch.lo, ch.hi, ch.lens, t * 6, seg=min(t, 4096))
+        ch.lo, ch.hi, ch.lens, t * 6, seg=min(t, 20480))
     out_buf = jax.lax.dynamic_update_slice(out_buf, buf, (cursor,))
     return out_buf, cursor + total, ch.carry
 

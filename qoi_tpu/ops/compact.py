@@ -165,11 +165,23 @@ def compact_words6_wordsum(
     assert capacity % 4 == 0
     n = lens.shape[0]
     s_eff = seg or _COMPACT_SEG
-    if n % s_eff or n < s_eff:
+    if n < s_eff:
         s_eff = n
+    elif n % s_eff:
+        # pad the record list to a segment multiple with l=0 records:
+        # they contribute no bytes, no events and zero sums everywhere
+        # (the events build needs no validity mask for them), so the
+        # result is byte-identical. The old fallback collapsed ragged n
+        # to ONE giant segment — log2(2n) full-width slide passes (the
+        # r3 "wsum8k" trap) — which made every seg choice silently
+        # pessimal for caps it did not divide.
+        pad = s_eff - n % s_eff
+        lo = jnp.concatenate([lo, jnp.zeros((pad,), lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.zeros((pad,), hi.dtype)])
+        lens = jnp.concatenate([lens, jnp.zeros((pad,), lens.dtype)])
     if sub_rows and (2 * s_eff) % sub_rows:
         sub_rows = 0  # tiny/ragged inputs: plain segment-wide distances
-    ev = _wordsum_events_words(lo, hi, lens, seg, sub_rows=sub_rows)
+    ev = _wordsum_events_words(lo, hi, lens, s_eff, sub_rows=sub_rows)
     if slide == "kernel" and not sub_rows:
         from ..kernels.slide import slide_val
 

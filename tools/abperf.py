@@ -211,7 +211,18 @@ def cmd_encode(batch_frames: int = 8):
     # *xc = same variant with scans._BLOCKED_CUM=False (jnp.cumsum /
     # lax.cummax instead of blocked_scan): the standalone probe says
     # XLA's native cumsum is fine — in-context A/B decides the default
+    # wswk12k/20k = seg sweep into FEWER scatter rows (the r4 ladder
+    # says assemble+final is the biggest phase at 8.6 ms/frame; the
+    # VMEM slide kernel makes longer rows nearly free, so nseg
+    # 2025 -> 675/405 cuts the windowed scatter's row count 3-5x).
+    # seg must divide cap=8294400 (max pow2 factor 4096; 12288 = 3x,
+    # 20480 = 5x — the r3 "wsum8k" one-giant-segment trap).
     for name, seg, mode in (("wswk", 4096, "wswk"),
+                            ("wswk12k", 12288, "wswk"),
+                            ("wswk20k", 20480, "wswk"),
+                            ("wswk36k", 36864, "wswk"),
+                            ("wswk61k", 61440, "wswk"),
+                            ("wswk102k", 102400, "wswk"),
                             ("wswkxc", 4096, "wswk"),
                             ("steq", 0, "steq"),
                             ("strun", 0, "strun"),
