@@ -743,6 +743,20 @@ def cmd_decode(unique_streams: int = 8):
     v3._SCAN_B_MAX = 8192
     jax.clear_caches()
 
+    # xw wide-subtile sweep: span grows sublinearly in sub (13 rows per
+    # 256 px, 23 per 512 vs 8 per 128), so per-px accumulate ops fall
+    # 19%/43% — but the lane layout needs tile//sub % 8 == 0, i.e.
+    # bigger tiles (which lost at sub=128 as pure step-count changes)
+    for et, es, enb in ((2048, 256, 4), (4096, 512, 4)):
+        v3._EXPAND_TILE, v3._EXPAND_SUB, v3._EXPAND_NBLOCKS = et, es, enb
+        jax.clear_caches()
+        fs = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
+        bench(f"b16 xw s{es} t{et}", lambda d, c, f=fs: f(d, c),
+              dup(db, 2), dup(dc, 2))
+    v3._EXPAND_TILE, v3._EXPAND_SUB, v3._EXPAND_NBLOCKS = 1024, 128, 2
+    jax.clear_caches()
+
     # _BLOCKED_CUM in-context A/B: the standalone probe says XLA's
     # native batched cumsum is FINE (1.9 vs blocked 2.3 ms/frame) —
     # flip the flag to see the in-context decode delta
