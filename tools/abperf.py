@@ -220,6 +220,7 @@ def cmd_encode(batch_frames: int = 8):
     for name, seg, mode in (("wswk", 4096, "wswk"),
                             ("wswk12k", 12288, "wswk"),
                             ("wswk20k", 20480, "wswk"),
+                            ("wswk24k", 24576, "wswk"),
                             ("wswk36k", 36864, "wswk"),
                             ("wswk61k", 61440, "wswk"),
                             ("wswk102k", 102400, "wswk"),
