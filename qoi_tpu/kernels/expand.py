@@ -273,7 +273,8 @@ def _wspan_sub(sub: int) -> int:
 
 def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                       dense: bool = False, nblocks: int = 2,
-                      noop: bool = False, exact: bool = False):
+                      noop: bool = False, exact: bool = False,
+                      fuse: bool = False):
     """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
 
     The narrow layout's (sub, 64) compare/select/add values pad their
@@ -291,9 +292,20 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
     Mosaic dynamic sublane slices must start 8-aligned, yet the real
     landing span is _wspan_sub(128) = 8 rows starting at row cb-2. A
     16-row 8-aligned slice rotated by `pltpu.roll` (traced shift)
-    re-bases the window at exactly cb-2, so the accumulate touches only
+    re-bases the window at exactly cb-2, so the accumulate runs only
     the span rows — half the compare/select/add volume of the r3
     production window, at the price of two sublane rotates per subtile.
+
+    `fuse` folds the driver's global `jnp.cumsum(landed) + seed` into
+    the kernel: TPU grid steps execute sequentially (batch-outermost
+    under vmap), so an SMEM carry initialized to the seed at t == 0
+    plus a log2(sub)-step Hillis-Steele lane prefix per subtile row
+    emits the final pixel plane directly. NEGATIVE RESULT (r4,
+    PERF_NOTES "Fused in-kernel cumsum"): the scalar carry chains
+    every subtile to its predecessor and collapses Mosaic's grid-step
+    pipelining — 47.4 vs 236.2 Mpx/s in-context. Kept as a tested
+    correctness path and a measured warning against threading scalar
+    dependencies through pipelined grid steps.
     """
     if nblocks == 2:
         blk = _wbrows_dense(tile) if dense else _wbrows(tile)
@@ -309,10 +321,21 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
     assert lwin <= wrows
 
     def kernel(qb_ref, *refs):
+        if fuse:
+            seed_ref, *refs = refs       # second scalar-prefetch operand
         po_refs = refs[:nblocks]
         d_refs = refs[nblocks:2 * nblocks]
-        out_ref, wpo, wd = refs[2 * nblocks:]
+        if fuse:
+            out_ref, wpo, wd, carry = refs[2 * nblocks:]
+        else:
+            out_ref, wpo, wd = refs[2 * nblocks:]
         t = pl.program_id(0)
+        if fuse:
+            # batch axis (vmap) is OUTSIDE the tile axis, so every
+            # stream's first tile re-seeds the carry
+            @pl.when(t == 0)
+            def _():
+                carry[0] = seed_ref[0]
         base_t = t * tile
         for j in range(nblocks):
             wpo[j * blk:(j + 1) * blk, :] = po_refs[j][...]
@@ -389,7 +412,23 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                 acc = jax.lax.fori_loop(
                     0, ng, body, jnp.zeros((sub, _WROW), jnp.int32))
 
-            out_ref[s, :] = jnp.sum(acc, axis=1)
+            y = jnp.sum(acc, axis=1)                  # (sub,) landed
+            if not fuse:
+                out_ref[s, :] = y
+                continue
+            # in-lane inclusive prefix (Hillis-Steele): roll(c, k)[i] =
+            # c[i - k mod sub]; lanes i < k receive wrapped values and
+            # are masked off. All adds wrap mod 2^32 (associative), so
+            # the fused prefix is bit-exact vs the XLA cumsum.
+            c = y.reshape(1, sub)
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+            k = 1
+            while k < sub:
+                c = c + jnp.where(li >= k, pltpu.roll(c, k, 1), 0)
+                k <<= 1
+            base = carry[0]
+            out_ref[s, :] = c[0] + base
+            carry[0] = base + jnp.sum(jnp.where(li == sub - 1, c, 0))
 
     return kernel
 
@@ -397,7 +436,8 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
 def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                     tile: int, sub: int, seed32, dyn: bool,
                     dense: bool = False, nblocks: int = 2,
-                    noop: bool = False, exact: bool = False):
+                    noop: bool = False, exact: bool = False,
+                    fuse: bool = False):
     """Wide-layout driver for expand_px (accum in {"wide", "dyn", "xw"})."""
     if nblocks == 2:
         blk = _wbrows_dense(tile) if dense else _wbrows(tile)
@@ -432,25 +472,39 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     r0 = jnp.searchsorted(rowfirst, qs, method="sort").astype(jnp.int32)
     qb = jnp.maximum(r0 - 1, 0) >> bshift
 
-    def mk_spec(j):
-        return pl.BlockSpec((blk, _WROW), lambda t, q, j=j: (q[t] + j, 0))
+    if fuse:
+        def mk_spec(j):
+            return pl.BlockSpec((blk, _WROW),
+                                lambda t, q, sd, j=j: (q[t] + j, 0))
+        out_spec = pl.BlockSpec((tile // sub, sub), lambda t, q, sd: (t, 0))
+        n_pref, pref = 2, (qb, seed[None])
+    else:
+        def mk_spec(j):
+            return pl.BlockSpec((blk, _WROW),
+                                lambda t, q, j=j: (q[t] + j, 0))
+        out_spec = pl.BlockSpec((tile // sub, sub), lambda t, q: (t, 0))
+        n_pref, pref = 1, (qb,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_pref,
         grid=(t_out,),
         in_specs=[mk_spec(j) for j in range(nblocks)] * 2,
-        out_specs=pl.BlockSpec((tile // sub, sub), lambda t, q: (t, 0)),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((nblocks * blk, _WROW), jnp.int32),
-                        pltpu.VMEM((nblocks * blk, _WROW), jnp.int32)],
+                        pltpu.VMEM((nblocks * blk, _WROW), jnp.int32)]
+        + ([pltpu.SMEM((1,), jnp.int32)] if fuse else []),
     )
     landed = pl.pallas_call(
-        _make_wide_kernel(tile, sub, dyn, dense, nblocks, noop, exact),
+        _make_wide_kernel(tile, sub, dyn, dense, nblocks, noop, exact,
+                          fuse),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
         interpret=interpret,
-    )(qb, *([po_r] * nblocks), *([d_r] * nblocks))
+    )(*pref, *([po_r] * nblocks), *([d_r] * nblocks))
     landed = landed.reshape(-1)[:n_px_cap]
+    if fuse:  # kernel already emitted prefix sums + seed
+        return landed.view(jnp.uint32)
     # plain XLA cumsum: in-context A/B (r4) says the blocked form is
     # ~0.5 ms/frame WORSE here under vmap, while the encode-side scans
     # want blocked — this one site stays on jnp.cumsum
@@ -471,12 +525,13 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
     its value; pixels before any chunk get the seed (truncation
     tolerance, reference qoi.h:544). Returns (n_px_cap,) u32.
     """
-    if accum in ("wide", "dyn", "wnoop", "xw"):
+    if accum in ("wide", "dyn", "wnoop", "xw", "xwf"):
         return _expand_px_wide(pix_off, px32, n_px_cap, interpret,
                                tile, sub, seed32, dyn=accum == "dyn",
                                dense=dense, nblocks=nblocks,
                                noop=accum == "wnoop",
-                               exact=accum == "xw")
+                               exact=accum in ("xw", "xwf"),
+                               fuse=accum == "xwf")
     assert not dense, "dense geometry is wide-layout only"
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows

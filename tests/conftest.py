@@ -10,8 +10,9 @@ overrides the JAX_PLATFORMS env var, so forcing CPU must happen through
 """
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# NO JAX_COMPILATION_CACHE_DIR here: the suite must not read or write the
+# persistent cache (see the note below the jax import) — these lines once
+# set it and quietly contradicted that note.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # NO persistent compile cache for the forced-CPU suite: XLA:CPU AOT
@@ -27,3 +29,25 @@ jax.config.update("jax_platforms", "cpu")
 # — observed once as a transient wrong-encode in an abperf mini run.
 # CPU compiles are cheap; only the TPU entry points (bench/abperf/cli/
 # hwcheck via utils/profiling.enable_compile_cache) use the cache.
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mmap_pressure():
+    """Keep the process under vm.max_map_count (default 65530).
+
+    Every XLA:CPU executable the session-lifetime jit caches retain maps
+    its JIT'd code as r-xp/r--p/rw-p anonymous-map triplets; the full
+    suite accumulates ~2.5k maps/minute and, at the kernel's default
+    ceiling, mmap starts failing mid-compile — observed as a
+    deterministic XLA compiler SIGSEGV ~190 tests in (round 4). Clearing
+    the jit caches between modules releases the executables (and their
+    maps); doing it only above a high-water mark avoids needless
+    recompiles for short runs."""
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:  # non-Linux: no ceiling worth guarding
+        return
+    if n > 30_000:
+        jax.clear_caches()

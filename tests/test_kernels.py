@@ -94,7 +94,7 @@ def _synth_records(m, seed, max_run=62):
     return pix_off, px
 
 
-@pytest.mark.parametrize("accum", ["sum", "wide", "dyn", "xw"])
+@pytest.mark.parametrize("accum", ["sum", "wide", "dyn", "xw", "xwf"])
 @pytest.mark.parametrize("m,cap,seed", [
     (600, 512, 0),        # truncation: offsets overflow the cap
     (6000, 4096, 1),
@@ -112,6 +112,43 @@ def test_expand_kernel_matches_xla(m, cap, seed, accum):
         accum=accum))
     want = np.asarray(expand.expand_px_xla(
         jnp.asarray(pix_off), jnp.asarray(px), cap))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_expand_kernel_fused_cumsum_vmap_resets_carry():
+    """accum="xwf" keeps its running prefix in SMEM scratch across grid
+    steps; under vmap the batch axis is the OUTERMOST grid dim, so the
+    t == 0 re-seed must isolate streams — a stale carry from stream 0
+    would shift every pixel of stream 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    po1, px1 = _synth_records(6000, 21)
+    po2, px2 = _synth_records(6000, 22)
+    pos = jnp.stack([jnp.asarray(po1), jnp.asarray(po2)])
+    pxs = jnp.stack([jnp.asarray(px1), jnp.asarray(px2)])
+    got = np.asarray(jax.vmap(lambda p, x: expand.expand_px(
+        p, x, 4096, interpret=True, accum="xwf"))(pos, pxs))
+    want = np.asarray(jax.vmap(lambda p, x: expand.expand_px_xla(
+        p, x, 4096))(pos, pxs))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_expand_kernel_fused_cumsum_custom_seed():
+    """xwf folds the seed into the carry init (not a post-pass add)."""
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    pix_off, px = _synth_records(6000, 23)
+    seed = np.uint32(0xDEADBEEF)
+    got = np.asarray(expand.expand_px(
+        jnp.asarray(pix_off), jnp.asarray(px), 4096, interpret=True,
+        accum="xwf", seed32=seed))
+    want = np.asarray(expand.expand_px_xla(
+        jnp.asarray(pix_off), jnp.asarray(px), 4096, seed32=seed))
     np.testing.assert_array_equal(got, want)
 
 

@@ -602,6 +602,29 @@ def cmd_decode(unique_streams: int = 8):
         accum="xw"))
     bench("b16 flat xw", lambda d, c: f16x(d, c), dup(db, 2), dup(dc, 2))
 
+    # fused in-kernel cumsum (accum="xwf"): the global
+    # jnp.cumsum(landed) + seed folds into the expand grid via an SMEM
+    # carry + per-subtile Hillis-Steele lane prefix — kills the batched
+    # XLA cumsum (~2 ms/frame of log-shifted passes) and its HBM plane
+    f16f = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="xwf" if not _MINI else "wide"))
+    bench("b16 flat xwf", lambda d, c: f16f(d, c), dup(db, 2), dup(dc, 2))
+
+    # xw at bigger tiles, sub=128: under xw the accumulate is
+    # SPAN-bound (sub-only), so tile growth now only cuts grid steps —
+    # the r4 t2048/t4096 closures were measured under accum="wide"
+    for et, enb in ((2048, 2), (2048, 4), (4096, 4)):
+        v3._EXPAND_TILE, v3._EXPAND_NBLOCKS = et, enb
+        jax.clear_caches()
+        fxt = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="xw"))
+        bench(f"b16 xw t{et} nb{enb}", lambda d, c, f=fxt: f(d, c),
+              dup(db, 2), dup(dc, 2))
+    v3._EXPAND_TILE, v3._EXPAND_NBLOCKS = 1024, 2
+    jax.clear_caches()
+
     # pass-3 structure: "scan" = the original numeric re-scan (r3
     # production), "vector" (the new default, in f16w above) = pass-1
     # symbolic px entries + one fused SWAR application of the pass-2
@@ -808,7 +831,10 @@ def cmd_expand():
             # traffic per grid step (4x16 rows = half of 2x64; 7x8 = 56)
             (1024, 128, "wide", 4), (1024, 128, "noop", 4),
             (1024, 128, "wide", 7), (1024, 128, "dyn", 4),
-            (2048, 128, "wide", 4)):
+            (2048, 128, "wide", 4),
+            # exact-window + fused-cumsum variants (r4)
+            (1024, 128, "xw", 2), (1024, 128, "xwf", 2),
+            (2048, 128, "xw", 2), (2048, 128, "xwf", 2)):
         f = jax.jit(lambda p, x, t=tile, sb=sub, a=acc, nb=nbl:
                     expand.expand_px(p, x, cap, tile=t, sub=sb, accum=a,
                                      nblocks=nb, interpret=_MINI))
