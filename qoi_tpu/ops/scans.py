@@ -91,8 +91,15 @@ def chunked_assoc_scan(combine, elems, seg: int = 1 << 16):
 #: kept for abperf sweeps.
 _UNROLL = 1
 
+#: default elements-per-lane of blocked_scan == its lax.scan step count;
+#: the sequential steps are latency-bound (~1 us each regardless of lane
+#: width), so smaller blocks trade step count for wider per-step rows.
+#: Hardware r4 in-context sweep (b16 photo decode ms/frame at
+#: 128/256/512/1024): see PERF_NOTES "blocked_scan block sweep".
+_BLOCK = 512
 
-def blocked_scan(combine, elems, block: int = 512, unroll: int = 0):
+
+def blocked_scan(combine, elems, block: int = 0, unroll: int = 0):
     """Inclusive associative scan over axis -1, as a vmapped `lax.scan`:
 
       1. lax.scan over position-in-block (lanes = blocks): the running
@@ -107,6 +114,7 @@ def blocked_scan(combine, elems, block: int = 512, unroll: int = 0):
     `combine`; `combine` must broadcast leading dims (all jnp elementwise
     combines do).
     """
+    block = block or _BLOCK
     leaves = jax.tree.leaves(elems)
     n = leaves[0].shape[-1]
     if n <= block * 4:

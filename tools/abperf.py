@@ -657,7 +657,18 @@ def cmd_decode(unique_streams: int = 8):
 
     def abl_one(phase):
         def one(d, c):
+            if phase == "starts":
+                # the FSM tokenizer scan alone (fields sub-phase):
+                # blocked_scan of ~20-op base-8 map compositions
+                from qoi_tpu.ops import fsm as qfsm
+                st = qfsm.chunk_starts(d, c)
+                return jnp.sum(st.astype(jnp.int32))
             starts, cls, r6, d32, lit32, npix = v3._fields(d, c)
+            if phase == "classify":
+                # starts + the elementwise class/delta/literal extraction
+                # (no _initial_w affine scan, no pix_off cumsum)
+                return (jnp.sum(cls) + jnp.sum(d32.view(jnp.int32))
+                        + jnp.sum(lit32.view(jnp.int32)) + jnp.sum(npix))
             pix_off = qscans.exclusive_cumsum(npix)
             w0 = jnp.where(starts, v3._initial_w(cls, r6, d32, lit32), 0)
             if phase == "fields":
@@ -701,8 +712,9 @@ def cmd_decode(unique_streams: int = 8):
                     + jnp.sum(exit65.view(jnp.int32)))
         return jax.jit(lambda dd, cc: jax.vmap(one)(dd, cc))
 
-    for phase in ("fields", "p1", "p12", "resolve", "compact/cumsum",
-                  "compact/events", "compact/slide", "compact"):
+    for phase in ("starts", "classify", "fields", "p1", "p12", "resolve",
+                  "compact/cumsum", "compact/events", "compact/slide",
+                  "compact"):
         if not _selected("abl " + phase):
             continue
         fa = abl_one(phase)
@@ -779,6 +791,20 @@ def cmd_decode(unique_streams: int = 8):
         bench(f"b16 xw s{es} t{et}", lambda d, c, f=fs: f(d, c),
               dup(db, 2), dup(dc, 2))
     v3._EXPAND_TILE, v3._EXPAND_SUB, v3._EXPAND_NBLOCKS = 1024, 128, 2
+    jax.clear_caches()
+
+    # blocked_scan block-size sweep: block == the lax.scan step count
+    # (latency-bound, ~1 us/step) while lane width nb = m/block sets
+    # per-step compute — the 512 default was never swept in context
+    from qoi_tpu.ops import scans as qsc0
+    for blk in (128, 256, 1024):
+        qsc0._BLOCK = blk
+        jax.clear_caches()
+        fbl = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI))
+        bench(f"b16 sblk{blk}", lambda d, c, f=fbl: f(d, c),
+              dup(db, 2), dup(dc, 2))
+    qsc0._BLOCK = 512
     jax.clear_caches()
 
     # _BLOCKED_CUM in-context A/B: the standalone probe says XLA's
