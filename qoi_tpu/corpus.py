@@ -98,11 +98,18 @@ def run_job(
     shard: int = 0,
     num_shards: int = 1,
     verify: bool = True,
+    oracle_verify: bool = False,
     progress=lambda msg: print(msg, file=sys.stderr),
 ) -> Counters:
-    """Run (or resume) a corpus job over this shard's files."""
+    """Run (or resume) a corpus job over this shard's files.
+
+    `verify` checks the decode roundtrip pixel-exactly; `oracle_verify`
+    additionally checks every encoded stream byte-identical to the C++
+    oracle (the conformance-suite trust anchor, reference qoi.h:356)."""
     from . import format as fmt, io as qio
     from .models import decode_v3 as decode_pipeline, pipeline
+    if oracle_verify:
+        from . import oracle
 
     files = shard_files(pathlib.Path(root), shard, num_shards)
     ck = Checkpoint.load(checkpoint_path) if checkpoint_path else None
@@ -125,6 +132,9 @@ def run_job(
         t0 = time.perf_counter_ns()
         stream = pipeline.encode(pixels, desc)
         counters.encode_ns += time.perf_counter_ns() - t0
+        if oracle_verify and stream != oracle.encode(pixels, desc):
+            counters.verify_failures += 1
+            progress(f"ORACLE ENCODE MISMATCH: {f}")
 
         if mode in ("roundtrip", "decode"):
             t0 = time.perf_counter_ns()
@@ -205,6 +215,9 @@ def main(argv=None) -> int:
     ap.add_argument("--shard", type=int, default=None)
     ap.add_argument("--num-shards", type=int, default=None)
     ap.add_argument("--noverify", action="store_true")
+    ap.add_argument("--oracle-verify", action="store_true",
+                    help="also check every stream byte-identical to the "
+                         "C++ oracle encoder")
     ap.add_argument("--coordinator", metavar="HOST:PORT",
                     help="bring up jax.distributed across processes; "
                          "shard/num-shards default to the process grid")
@@ -223,7 +236,8 @@ def main(argv=None) -> int:
 
     counters = run_job(
         args.root, args.mode, args.checkpoint, args.checkpoint_every,
-        shard, num_shards, not args.noverify)
+        shard, num_shards, not args.noverify,
+        oracle_verify=args.oracle_verify)
     total = allreduce_counters(counters)
     print(json.dumps(total.summary()))
     return 1 if total.verify_failures else 0

@@ -44,6 +44,16 @@ _VMEM_BUDGET = 15 << 20
 def _auto_rows(rows: int, sw: int, planes: int = 1) -> int:
     while rows > 8 and rows * sw * 4 * 10 * planes > _VMEM_BUDGET:
         rows >>= 1
+    # rows = 8 is Mosaic's block floor: below it the working set cannot
+    # shrink further, and letting the compiler hit its 16 MB scoped-VMEM
+    # stack limit yields an opaque remote-helper OOM. Fail loudly with
+    # the actionable bound instead (ADVICE r4).
+    if rows * sw * 4 * 10 * planes > _VMEM_BUDGET:
+        raise ValueError(
+            f"slide kernel working set {rows * sw * 4 * 10 * planes} B "
+            f"exceeds the {_VMEM_BUDGET} B Mosaic VMEM budget at the "
+            f"8-row block floor (sw={sw}, planes={planes}); use a "
+            f"smaller segment width (seg <= ~20480) or the XLA slide")
     return rows
 
 

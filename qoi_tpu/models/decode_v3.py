@@ -491,22 +491,28 @@ def _scan_block_len(m: int) -> int:
     return b
 
 
-def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None,
-             apply: str = "vector"):
-    """One full symbolic resolve given written slots w. Returns (px32 (M,)
-    uint32: the decoder's px value after every byte position, exit65).
+def _pos_major(x, m: int, b: int):
+    """(M,) -> (B, nb): position i of block k at [i, k]."""
+    return x.reshape(m // b, b).T
 
-    `apply` picks pass 3: "vector" (default) applies pass-2 entry states
-    to pass-1's per-position symbolic px entries in one fused SWAR pass
-    (`_apply_symbolic` — no second sequential scan); "scan" is the
-    original numeric re-scan, kept as the differential anchor."""
+
+def _resolve_p(base_p, d32_p, lit32_p, w, m: int, b: int, entry65=None,
+               apply: str = "vector"):
+    """One full symbolic resolve given written slots w, from
+    PRE-TRANSPOSED loop-invariant planes (base_p = position-major
+    cls | r6 << 9, d32_p, lit32_p). Only w — the one per-round input —
+    pays a transpose per round; the other three planes transpose once
+    per decode in `_decode_core` (round-5 loop-tax fix: the old form
+    re-transposed all of them inside every fixpoint round, ~3 x 58 MB
+    HBM round-trips per round at 4K).
+
+    Returns (px32 (M,) uint32: the decoder's px value after every byte
+    position, exit65). `apply` picks pass 3: "vector" (default) applies
+    pass-2 entry states to pass-1's per-position symbolic px entries in
+    one fused SWAR pass (`_apply_symbolic` — no second sequential scan);
+    "scan" is the original numeric re-scan, the differential anchor."""
     nb = m // b
-    meta = (cls | (w << 3) | (r6 << 9)).astype(jnp.int32)
-
-    def pos_major(x):  # (M,) -> (B, nb): position i of block k at [i, k]
-        return x.reshape(nb, b).T
-
-    meta_p, d32_p, lit32_p = pos_major(meta), pos_major(d32), pos_major(lit32)
+    meta_p = (base_p | (_pos_major(w, m, b) << 3)).astype(jnp.int32)
     if apply == "vector":
         root, val, proot, pval = _block_maps(
             meta_p, d32_p, lit32_p, nb, b, emit_px=True)
@@ -518,6 +524,15 @@ def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None,
         entry = _compose_entry_states(root, val, nb, entry65)
         px, exit65 = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
     return px.T.reshape(m), exit65
+
+
+def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None,
+             apply: str = "vector"):
+    """One full symbolic resolve given written slots w (flat-plane
+    convenience wrapper around `_resolve_p`)."""
+    base_p = _pos_major((cls | (r6 << 9)).astype(jnp.int32), m, b)
+    return _resolve_p(base_p, _pos_major(d32, m, b),
+                      _pos_major(lit32, m, b), w, m, b, entry65, apply)
 
 
 def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
@@ -535,8 +550,15 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     w0i, pix_off = _initial_w(cls, r6, d32, lit32, entry_px32, npix=npix)
     w0 = jnp.where(starts, w0i, 0)
 
+    # loop-invariant position-major planes, transposed ONCE (each round
+    # re-transposing them cost ~3 x 58 MB of HBM round-trips at 4K)
+    base_p = _pos_major((cls | (r6 << 9)).astype(jnp.int32), m, b)
+    d32_p = _pos_major(d32, m, b)
+    lit32_p = _pos_major(lit32, m, b)
+
     def round_(w, prev_bad):
-        px, exit65 = _resolve(cls, r6, w, d32, lit32, m, b, entry65, apply)
+        px, exit65 = _resolve_p(base_p, d32_p, lit32_p, w, m, b,
+                                entry65, apply)
         # certificate: self-consistency w == hash(px(w)) forces exactness
         # (the consistent prefix is unique by induction on positions)
         true_w = jnp.where(starts, _hash_packed(px), 0)

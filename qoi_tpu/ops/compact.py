@@ -158,6 +158,15 @@ def compact_words6_wordsum(
     staging of pipeline.encode_stage_chunks): lo (N,) uint32 = record
     bytes 0..3 little-endian, hi (N,) uint32 = bytes 4..5, bytes at or
     past lens[i] zero. Skips the byte-plane repack entirely.
+
+    HARD CONTRACT: capacity >= total output bytes (sum of lens). The
+    assemble's scatter buffer is sized min(2n, capacity//4) + sw with
+    CLIP mode and its final-partial-word patch clamps into capacity; if
+    capacity is ever below the true total, overflowing windows re-base
+    onto the last in-capacity words and SILENTLY corrupt bytes inside
+    capacity (ADVICE r4) — there is no clean truncation. Every caller
+    must bound capacity at the format's worst case (5 B/px + trailer
+    for chunk-partitioned pixels, 6 B/px for raw per-pixel staging).
     `sub_rows` switches to subrow-relative slide distances (CLOSED on
     TPU: tall-skinny events/assemble ops — PERF_NOTES). `slide="kernel"`
     runs the slide passes in VMEM (kernels/slide.py) instead of

@@ -141,6 +141,32 @@ def photo(w: int, h: int, ch: int, seed: int = 3) -> np.ndarray:
     return img
 
 
+def palette_collide(w: int, h: int, ch: int, colors: int = 24,
+                    seed: int = 11, slot: int = 17) -> np.ndarray:
+    """Hash-collision-dense palette: every color hashes to the SAME
+    table slot ((3r+5g+7b+11a) % 64 == slot, reference qoi.h:92), so
+    OP_INDEX can only ever hit the most recent color — the table
+    degenerates to one entry and the encoder emits literal/DIFF chunks
+    for everything else. Exercises last-writer replay correctness under
+    maximal slot contention (encode table stage + decode w-estimate)."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(colors, 4), dtype=np.uint8)
+    if ch == 3:
+        pal[:, 3] = 255
+    # fix the hash by shifting g: adding dg to g shifts h by 5*dg
+    # (mod 64); 5 is invertible mod 64, and a mod-256 wrap of g changes
+    # 5*g by a multiple of 1280 ≡ 0 (mod 64), so the fix is exact
+    h0 = (3 * pal[:, 0].astype(np.int64) + 5 * pal[:, 1]
+          + 7 * pal[:, 2] + 11 * pal[:, 3]) % 64
+    dg = ((slot - h0) * pow(5, -1, 64)) % 64
+    pal[:, 1] = ((pal[:, 1].astype(np.int64) + dg) % 256).astype(np.uint8)
+    hh = (3 * pal[:, 0].astype(np.int64) + 5 * pal[:, 1]
+          + 7 * pal[:, 2] + 11 * pal[:, 3]) % 64
+    assert (hh == slot).all()
+    idx = rng.integers(0, colors, size=(h, w))
+    return pal[idx][..., :ch]
+
+
 def palette_alpha(w: int, h: int, colors: int = 40, seed: int = 7) -> np.ndarray:
     """The decode fixpoint's TRUE adversarial class (measured round 3):
     many palette colors with RANDOM ALPHAS. Nearly every chunk is an

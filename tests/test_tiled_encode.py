@@ -45,6 +45,44 @@ def test_tiled_edge_cases_rgb(name):
     _check(testimages.edge_case_suite(3)[name], mesh)
 
 
+def test_seed_pixel_at_tile_boundary():
+    """Round-5 fused-summary corner: a tile whose FIRST pixel is the
+    seed (0,0,0,255) while the true incoming pixel differs. Phase A
+    (which assumes a seed prev) sees position 0 as run-eq and misses the
+    table write of the seed at slot 53; the replicated compose must
+    patch it back in, or a later seed-valued pixel would miss its
+    OP_INDEX hit. Built so tile boundaries land exactly on seed pixels
+    on an 8-tile mesh, with later seed pixels probing slot 53."""
+    mesh = _mesh()
+    n = 1024  # 8 tiles x 128
+    img = np.zeros((1, n, 4), np.uint8)
+    img[..., :3] = 77
+    img[..., 3] = 255
+    for t in range(1, 8):  # tile starts at the seed value, prev differs
+        img[0, t * 128] = (0, 0, 0, 255)
+        img[0, t * 128 + 60] = (0, 0, 0, 255)  # later INDEX probe of slot 53
+        img[0, t * 128 + 61] = (t * 31 % 256, 5, 9, 255)
+    _check(img, mesh)
+
+
+def test_boundary_eq_spurious_write():
+    """The other fused-summary corner: a tile whose first pixel EQUALS
+    the true incoming pixel but differs from the seed — phase A writes
+    its hash slot where the true encoder writes nothing. The write is
+    provably shadow-identical (the run invariant already has that value
+    in the slot); this pins the derivation with runs crossing every
+    boundary at varied values."""
+    mesh = _mesh()
+    n = 1024
+    img = np.zeros((1, n, 4), np.uint8)
+    img[..., 3] = 255
+    v = 0
+    for i in range(0, n, 96):  # 96 !% 128: runs straddle boundaries
+        v = (v + 13) % 250 + 1
+        img[0, i:i + 96, 0] = v
+    _check(img, mesh)
+
+
 def test_run_crossing_tile_boundaries():
     """Flat stretches sized so runs straddle every tile boundary, with a
     tile count that doesn't divide the pixel count."""

@@ -432,6 +432,14 @@ def cmd_encode(batch_frames: int = 8):
               f"({batch_frames*n/1e6/mn:.1f} Mpx/s) "
               f"all {[f'{t*1e3:.0f}' for t in ts]}", flush=True)
 
+    # restore the production cumsum default after the sweep: the *xc
+    # entries flip scans._BLOCKED_CUM per-variant and correctness of any
+    # later command in the same process must not depend on table order
+    # (ADVICE r4)
+    from qoi_tpu.ops import scans as _qsc_restore
+    _qsc_restore._BLOCKED_CUM = True
+    jax.clear_caches()
+
 
 def cmd_pack():
     """Phase ablation for the pack-kernel compaction (kernels/pack.py)
@@ -527,7 +535,7 @@ def cmd_pack():
     timeit("place kernel only", place_only, *dargs)
 
 
-def cmd_decode(unique_streams: int = 8):
+def cmd_decode(unique_streams: int = 8, content: str = "photo"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -539,7 +547,8 @@ def cmd_decode(unique_streams: int = 8):
     desc = fmt.StreamDesc(W, H, 4)
     n = desc.num_pixels
     b = unique_streams
-    dframes = [testimages.photo(W, H, 4, seed=3 + i) for i in range(b)]
+    gen = getattr(testimages, content)
+    dframes = [gen(W, H, 4, seed=3 + i) for i in range(b)]
     streams = [oracle.encode(f, desc) for f in dframes]
     mcap = v1.bucket_size_fine(max(len(s) for s in streams) - fmt.HEADER_SIZE)
     npc = v1.bucket_size(n)
@@ -578,7 +587,10 @@ def cmd_decode(unique_streams: int = 8):
         ok0 = bool(jax.device_get(check0(out[0])))
         log(f"{name} compile+verify {time.perf_counter()-t0:.0f}s "
             f"conv={okc} px0={ok0}")
-        assert okc and ok0
+        # "r1" entries cap the fixpoint at one round to TIME the
+        # single-round cost on content that needs two (conv=False and
+        # wrong pixels are expected there — ablation, not a decode)
+        assert ("r1" in name) or (okc and ok0)
         nb = out.shape[0]
         mn, ts = _mins(
             lambda: int(jax.device_get(f(d, c)[0][0, 0])))
@@ -601,6 +613,15 @@ def cmd_decode(unique_streams: int = 8):
         v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
         accum="xw"))
     bench("b16 flat xw", lambda d, c: f16x(d, c), dup(db, 2), dup(dc, 2))
+
+    # round-structure ablation: max_rounds=1 peels the while_loop body
+    # off entirely — on 2-round content (mixed) the anchor-minus-r1
+    # difference IS the full second-round cost (anchored rebuild +
+    # resolve + certificate + loop-carry traffic)
+    f16r1 = jax.jit(functools.partial(
+        v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+        accum="xw", max_rounds=1))
+    bench("b16 r1 xw", lambda d, c: f16r1(d, c), dup(db, 2), dup(dc, 2))
 
     # fused in-kernel cumsum (accum="xwf"): the global
     # jnp.cumsum(landed) + seed folds into the expand grid via an SMEM
@@ -891,6 +912,9 @@ def main():
     ap.add_argument("--mini", action="store_true",
                     help="tiny shapes + forced CPU: smoke-tests every "
                          "variant end-to-end without touching the TPU")
+    ap.add_argument("--content", default="photo",
+                    help="testimages generator for the decode streams "
+                         "(photo/mixed/...)")
     args = ap.parse_args()
     global _ONLY
     _ONLY = [t for t in args.only.split(",") if t]
@@ -906,8 +930,11 @@ def main():
     from qoi_tpu.utils import profiling
     profiling.enable_compile_cache()  # env vars alone are swallowed here
     log(f"device: {jax.devices()[0]}")
-    {"encode": cmd_encode, "decode": cmd_decode, "pack": cmd_pack,
-     "expand": cmd_expand}[args.what]()
+    if args.what == "decode":
+        cmd_decode(content=args.content)
+    else:
+        {"encode": cmd_encode, "pack": cmd_pack,
+         "expand": cmd_expand}[args.what]()
 
 
 if __name__ == "__main__":
