@@ -346,7 +346,7 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
             jnp.int32, (1, nsub), 1)
         cnt_b = jnp.sum((rowfirst <= bases).astype(jnp.int32),
                         axis=0, keepdims=True)       # (1, nsub)
-        if dyn or exact:
+        if dyn:
             cnt_e = jnp.sum((rowfirst <= bases + (sub - 1)).astype(jnp.int32),
                             axis=0, keepdims=True)   # (1, nsub)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1)
@@ -379,37 +379,16 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                 sh = (lwin - o) % lwin            # nonneg spelling of -o
                 fpo = pltpu.roll(wpo[pl.ds(g8, lwin), :], sh, 0)
                 fd = pltpu.roll(wd[pl.ds(g8, lwin), :], sh, 0)
-                # data-adaptive span (r5): `span` is the WORST-CASE
-                # landing bound (25 px/row minimum); the actual span is
-                # ce - r_lo where rows >= ce have first offset past the
-                # subtile end and cannot match. Typical content lands in
-                # 3-4 rows (photo ~1.7 B/px: ~2 rows + 2 boundary), so
-                # rows [base_rows, span) run in a fori_loop with trip
-                # count span_a - base_rows — usually ZERO trips. Tail
-                # rows are extracted by a 16-row one-hot masked sum
-                # (Mosaic has no single-row dynamic value slice); the
-                # extract costs ~4k element-ops vs ~49k for the row
-                # accumulate it gates.
-                ce = jnp.sum(jnp.where(lane == s, cnt_e, 0))
-                base_rows = min(4, span)
-                span_a = jnp.clip(ce - r_lo, base_rows, span)
+                # (r5 closed negative result: a data-adaptive span —
+                # 4 static rows + fori tail sized ce - r_lo, one-hot row
+                # extraction — regressed 35.1 -> 39.3 ms/frame in-context
+                # despite ~74% of subtiles landing in <= 4 rows: the
+                # per-subtile scalar loop entry costs more than the 4
+                # skipped row accumulates. Static worst-case span stays.)
                 acc = jnp.zeros((sub, _WROW), jnp.int32)
-                for r in range(base_rows):
+                for r in range(span):
                     acc = acc + jnp.where(fpo[r:r + 1, :] == p_col,
                                           fd[r:r + 1, :], 0)
-
-                rows_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (lwin, 1), 0)
-
-                def tail(r, a):
-                    rsel = rows_i == r
-                    po_r = jnp.sum(jnp.where(rsel, fpo, 0),
-                                   axis=0, keepdims=True)
-                    d_r = jnp.sum(jnp.where(rsel, fd, 0),
-                                  axis=0, keepdims=True)
-                    return a + jnp.where(po_r == p_col, d_r, 0)
-
-                acc = jax.lax.fori_loop(base_rows, span_a, tail, acc)
             elif not dyn:
                 row0 = jnp.clip((cb - 2) >> 3,
                                 0, (wrows - frows) // 8) * 8

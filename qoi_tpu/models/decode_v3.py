@@ -231,11 +231,17 @@ def _anchored_w(cls, r6, d32, px32, entry_px32=None):
     Non-canonical INDEX-to-unwritten-slot streams violate the r6
     anchor's invariant and take the fallback ladder via the stall
     bail, as before."""
-    m3, m5, m7, _ = fmt.HASH_MULTIPLIERS
     if entry_px32 is None:
         entry_hash = jnp.int32(_SEED_HASH)
     else:
         entry_hash = _hash_packed(entry_px32[None])[0]
+    ps = scans.blocked_scan(_anch_comb, _anch_leaf(cls, r6, d32, px32))
+    return ((ps & 1) * entry_hash + (ps >> 1)) & 63
+
+
+def _anch_leaf(cls, r6, d32, px32):
+    """Packed (g, e) affine leaf of the anchored-w recurrence."""
+    m3, m5, m7, _ = fmt.HASH_MULTIPLIERS
     dh = (m3 * (d32 & 0xFF).astype(jnp.int32)
           + m5 * ((d32 >> 8) & 0xFF).astype(jnp.int32)
           + m7 * ((d32 >> 16) & 0xFF).astype(jnp.int32)) & 63
@@ -244,15 +250,22 @@ def _anchored_w(cls, r6, d32, px32, entry_px32=None):
     e = jnp.where(cls == _CLS_INDEX, r6,
         jnp.where(is_reset, _hash_packed(px32),
         jnp.where(cls == _CLS_ADD, dh, 0)))
-    packed = g | (e << 1)
+    return g | (e << 1)
 
-    def comb(p1, p2):
-        g1, e1 = p1 & 1, p1 >> 1
-        g2, e2 = p2 & 1, p2 >> 1
-        return (g1 & g2) | (((g2 * e1 + e2) & 63) << 1)
 
-    ps = scans.blocked_scan(comb, packed)
-    return ((ps & 1) * entry_hash + (ps >> 1)) & 63
+def _anch_comb(p1, p2):
+    g1, e1 = p1 & 1, p1 >> 1
+    g2, e2 = p2 & 1, p2 >> 1
+    return (g1 & g2) | (((g2 * e1 + e2) & 63) << 1)
+
+
+def _anchored_w_rows(cls_g, r6_g, d32_g, px_g, entry_h):
+    """`_anchored_w` over independent gathered blocks: (K, B) planes
+    scanned along axis -1, one entry hash per row (the surgical round's
+    narrow rebuild — same recurrence, same convergence argument)."""
+    ps = scans.blocked_scan(_anch_comb,
+                            _anch_leaf(cls_g, r6_g, d32_g, px_g))
+    return ((ps & 1) * entry_h[:, None] + (ps >> 1)) & 63
 
 
 def _step_common(rec, px_root, px_val, src_root, src_val):
@@ -519,11 +532,11 @@ def _resolve_p(base_p, d32_p, lit32_p, w, m: int, b: int, entry65=None,
         entry, exit65 = _compose_entry_states(root, val, nb, entry65,
                                               return_exit=True)
         px = _apply_symbolic(proot, pval, entry)
-    else:
-        root, val = _block_maps(meta_p, d32_p, lit32_p, nb, b)
-        entry = _compose_entry_states(root, val, nb, entry65)
-        px, exit65 = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
-    return px.T.reshape(m), exit65
+        return px.T.reshape(m), exit65, (root, val, entry, proot)
+    root, val = _block_maps(meta_p, d32_p, lit32_p, nb, b)
+    entry = _compose_entry_states(root, val, nb, entry65)
+    px, exit65 = _numeric_scan(meta_p, d32_p, lit32_p, entry, nb)
+    return px.T.reshape(m), exit65, None
 
 
 def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None,
@@ -531,8 +544,21 @@ def _resolve(cls, r6, w, d32, lit32, m: int, b: int, entry65=None,
     """One full symbolic resolve given written slots w (flat-plane
     convenience wrapper around `_resolve_p`)."""
     base_p = _pos_major((cls | (r6 << 9)).astype(jnp.int32), m, b)
-    return _resolve_p(base_p, _pos_major(d32, m, b),
-                      _pos_major(lit32, m, b), w, m, b, entry65, apply)
+    px, exit65, _ = _resolve_p(base_p, _pos_major(d32, m, b),
+                               _pos_major(lit32, m, b), w, m, b,
+                               entry65, apply)
+    return px, exit65
+
+
+def _swar_sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-byte mod-256 subtract of 4x-u8-packed uint32 lanes: a guard
+    bit above each byte absorbs the borrow, so (0x100 + a_b - b_b) & 0xFF
+    comes out per byte with no cross-byte interference."""
+    m = jnp.uint32(0x00FF00FF)
+    g = jnp.uint32(0x01000100)
+    lo = (((a & m) | g) - (b & m)) & m
+    hi = ((((a >> 8) & m) | g) - ((b >> 8) & m)) & m
+    return lo | (hi << 8)
 
 
 def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
@@ -545,6 +571,7 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     state (valid only when converged)."""
     m = data.shape[0]
     b = _scan_block_len(m)
+    nbk = m // b
     starts, cls, r6, d32, lit32, npix = _fields(data, chunks_len)
     entry_px32 = None if entry65 is None else entry65[0]
     w0i, pix_off = _initial_w(cls, r6, d32, lit32, entry_px32, npix=npix)
@@ -552,23 +579,29 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
 
     # loop-invariant position-major planes, transposed ONCE (each round
     # re-transposing them cost ~3 x 58 MB of HBM round-trips at 4K)
-    base_p = _pos_major((cls | (r6 << 9)).astype(jnp.int32), m, b)
+    base_f = (cls | (r6 << 9)).astype(jnp.int32)
+    base_p = _pos_major(base_f, m, b)
     d32_p = _pos_major(d32, m, b)
     lit32_p = _pos_major(lit32, m, b)
 
-    def round_(w, prev_bad):
-        px, exit65 = _resolve_p(base_p, d32_p, lit32_p, w, m, b,
-                                entry65, apply)
+    def round_(w, prev_bad, with_extra=False):
+        px, exit65, extra = _resolve_p(base_p, d32_p, lit32_p, w, m, b,
+                                       entry65, apply)
         # certificate: self-consistency w == hash(px(w)) forces exactness
         # (the consistent prefix is unique by induction on positions)
         true_w = jnp.where(starts, _hash_packed(px), 0)
-        bad = jnp.sum((true_w != w).astype(jnp.int32))
+        mis = true_w != w
+        bad = jnp.sum(mis.astype(jnp.int32))
         # bail early (bad = -1 flag) when the mismatch count stops
         # shrinking: only non-canonical streams (INDEX reads of
         # unwritten slots break the r6 anchor's table invariant) stall
         # now — burning all max_rounds would just delay the fallback
         stalled = (bad > 0) & (bad >= prev_bad)
-        return px, exit65, jnp.where(stalled, jnp.int32(-1), bad)
+        bad = jnp.where(stalled, jnp.int32(-1), bad)
+        if not with_extra:
+            return px, exit65, bad
+        mis_b = jnp.any(mis.reshape(nbk, b), axis=1)
+        return px, exit65, bad, extra, mis_b
 
     def body(state):
         _, px_prev, _, it, prev_bad, _ = state
@@ -590,9 +623,90 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     # only ever executes for streams that truly need a second round —
     # constant-alpha content (the whole benchmark-suite class) has an
     # exact initial estimate and never pays it
-    px1, exit1, bad1 = round_(w0, jnp.int32(0x7FFFFFFF))
+    px1, exit1, bad1, extra1, mis_b = round_(
+        w0, jnp.int32(0x7FFFFFFF), with_extra=True)
+    state = (w0, px1, bad1 == 0, jnp.int32(1), bad1, exit1)
+
+    if apply == "vector" and max_rounds > 1:
+        # ---- surgical round 2 (round-5 design) --------------------------
+        # The full second round costs as much as the first (~21 ms/frame
+        # at 4K), but its genuine new information is tiny: round-1
+        # certificate mismatches are sparse (stale-alpha RGB chunks) and
+        # the anchored-w fix is LOCAL — w1 differs from w0 only between a
+        # mismatch and the next reset chunk. So: rebuild w and the pass-1
+        # block maps ONLY for the (mismatch ∪ successor) blocks, recompose
+        # pass 2 over the patched maps (cheap), and get every clean
+        # block's px by the exact delta identity
+        #     px2 = px1 (+) (entry2 - entry1)[proot]   (per channel mod 256)
+        # — for unchanged maps, px(entry) = entry[root] + val, so the
+        # entry-state delta IS the px delta. Dirty blocks get a fresh
+        # narrow apply. Correctness does NOT rest on any of this being a
+        # good heuristic: px2 ≡ resolve(w2) algebraically, and the full
+        # certificate (hash(px2) == w2 everywhere) is re-checked — on
+        # failure (or > K dirty blocks) the unchanged full-round
+        # while_loop below takes over, as before.
+        root1, val1, entry1, proot1 = extra1
+        K = min(64, nbk)
+        dirty = mis_b | jnp.concatenate(
+            [jnp.zeros((1,), bool), mis_b[:-1]])
+        n_dirty = jnp.sum(dirty.astype(jnp.int32))
+        idx_sorted = jnp.sort(
+            jnp.where(dirty, jnp.arange(nbk, dtype=jnp.int32), nbk))
+        idxs = idx_sorted[:K]            # unclamped: scatters drop >= nbk
+        idc = jnp.minimum(idxs, nbk - 1)  # clamped: gathers read row 0..
+        if entry_px32 is None:
+            entry_hash0 = jnp.int32(_SEED_HASH)
+        else:
+            entry_hash0 = _hash_packed(entry_px32[None])[0]
+
+        def surgical(state):
+            w_prev, px_prev, _, it, _, _ = state
+            gat = lambda x: jnp.take(x.reshape(nbk, b), idc, axis=0)
+            base_g = gat(base_f)          # (K, b) contiguous row gathers
+            d32_g = gat(d32)
+            lit32_g = gat(lit32)
+            px_g = gat(px_prev)
+            cls_g = base_g & 7
+            r6_g = (base_g >> 9) & 63
+            starts_g = cls_g != 0
+            # per-block entry hash: the w0 chain entering the block (its
+            # prefix is certificate-clean up to the first mismatch)
+            seed_h = jnp.where(idc == 0, entry_hash0,
+                               w0i[jnp.maximum(idc * b - 1, 0)])
+            w1_g = jnp.where(
+                starts_g,
+                _anchored_w_rows(cls_g, r6_g, d32_g, px_g, seed_h), 0)
+            # narrow pass 1 over the dirty blocks only
+            meta_g = (base_g.T | (w1_g.T << 3)).astype(jnp.int32)
+            root_g, val_g, proot_g, pval_g = _block_maps(
+                meta_g, d32_g.T, lit32_g.T, K, b, emit_px=True)
+            root2 = root1.at[:, idxs].set(root_g, mode="drop")
+            val2 = val1.at[:, idxs].set(val_g, mode="drop")
+            entry2, exit2 = _compose_entry_states(
+                root2, val2, nbk, entry65, return_exit=True)
+            # clean blocks: exact delta apply; dirty blocks: fresh apply
+            delta = _swar_sub(entry2, entry1)
+            px2_p = _apply_symbolic(proot1, _pos_major(px_prev, m, b),
+                                    delta)
+            px_d = _apply_symbolic(proot_g, pval_g,
+                                   jnp.take(entry2, idc, axis=1))
+            px2 = px2_p.T.reshape(nbk, b).at[idxs, :].set(
+                px_d.T, mode="drop").reshape(m)
+            w2 = w_prev.reshape(nbk, b).at[idxs, :].set(
+                jnp.where(starts_g, w1_g, 0), mode="drop").reshape(m)
+            # the full certificate is the correctness anchor
+            true_w = jnp.where(starts, _hash_packed(px2), 0)
+            bad = jnp.sum((true_w != w2).astype(jnp.int32))
+            return (w2, px2, bad == 0, it + 1, bad, exit2)
+
+        def cond_s(state):
+            _, _, conv, it, bad, _ = state
+            return (~conv & (it == 1) & (bad > 0) & (n_dirty <= K))
+
+        state = jax.lax.while_loop(cond_s, surgical, state)
+
     w, px, conv, rounds, _, exit65 = jax.lax.while_loop(
-        cond, body, (w0, px1, bad1 == 0, jnp.int32(1), bad1, exit1))
+        cond, body, state)
     return px, starts, npix, pix_off, conv, rounds, exit65
 
 
