@@ -235,6 +235,35 @@ def main() -> None:
     dec_mpxs = bench_decode("photo", dbatch, dclens, dsources)
     mix_mpxs = bench_decode("mixed", mbatch, mclens, xs)
 
+    # ---- adversarial (non-canonical) decode: the ladder path ------------
+    # A stream of OP_INDEX reads of never-written table slots violates
+    # the decoder fixpoint's r6 table invariant by construction, so the
+    # device fixpoint stalls and the FALLBACK LADDER pays: device rounds
+    # + stall bail + the native C++ host decode (VERDICT r4 item 6 asked
+    # for this cost to be measured and bounded — the native rung bounds
+    # it near single-core speed instead of the sequential device scan).
+    adv_mpxs = 0.0
+    try:
+        adv_stream = (fmt.pack_header(desc)
+                      + b"\x05" * n          # INDEX slot 5, never written
+                      + fmt.TRAILER)
+        want_img, _ = oracle.decode(adv_stream)
+        t0 = time.perf_counter()
+        img, _ = decode_v3.decode(adv_stream)
+        warm = time.perf_counter() - t0
+        assert np.array_equal(img, want_img), "adversarial decode mismatch"
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decode_v3.decode(adv_stream)
+            ts.append(time.perf_counter() - t0)
+        adv_mpxs = n / 1e6 / min(ts)
+        log(f"decode[adversarial] 1x4K INDEX-unwritten: first {warm:.1f}s, "
+            f"min {min(ts) * 1e3:.0f} ms, {adv_mpxs:.1f} Mpx/s "
+            f"(ladder: device stall-bail + native host decode)")
+    except Exception as e:  # pragma: no cover - bench must still report
+        log(f"adversarial decode bench skipped: {e}")
+
     print(json.dumps({
         "metric": "encode_4k_rgba_batch_throughput",
         "value": round(enc_mpxs, 1),
@@ -244,6 +273,7 @@ def main() -> None:
         "decode_vs_baseline": round(dec_mpxs / BASELINE_DECODE_MPXS, 2),
         "decode_mixed_mpxs": round(mix_mpxs, 1),
         "decode_mixed_vs_baseline": round(mix_mpxs / BASELINE_DECODE_MPXS, 2),
+        "decode_adversarial_mpxs": round(adv_mpxs, 1),
     }))
 
 

@@ -627,7 +627,11 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
         w0, jnp.int32(0x7FFFFFFF), with_extra=True)
     state = (w0, px1, bad1 == 0, jnp.int32(1), bad1, exit1)
 
-    if apply == "vector" and max_rounds > 1:
+    # the surgical round only pays when the K-block rebuild is genuinely
+    # narrow (>= 4x fewer lanes than a full pass 1); tiny streams go
+    # straight to the full-round loop (mini-scale hardware check: at
+    # nbk = 32 the "surgical" round cost ~2x a full round)
+    if apply == "vector" and max_rounds > 1 and nbk >= 256:
         # ---- surgical round 2 (round-5 design) --------------------------
         # The full second round costs as much as the first (~21 ms/frame
         # at 4K), but its genuine new information is tiny: round-1
@@ -917,7 +921,25 @@ def decode(data: bytes, channels: int = 0,
         v1.bucket_size(desc.num_pixels, floor), max_rounds=max_rounds,
         use_kernel=_use_kernel_default())
     if not bool(jax.device_get(conv)):
-        return v1.decode(data, channels)
+        return _decode_ladder(data, channels)
     img = unpack_px32(np.asarray(jax.device_get(px32)))[
         : desc.num_pixels, :out_ch]
     return img.reshape(desc.height, desc.width, out_ch), desc
+
+
+def _decode_ladder(data: bytes, channels: int = 0):
+    """Fallback for fixpoint non-convergence (non-canonical streams:
+    INDEX reads of unwritten slots break the r6 anchor's table
+    invariant, reference semantics qoi.h:540-587). The native C++
+    decoder (cpp/qoi_oracle.cpp — this framework's host component)
+    decodes such streams at full single-core speed (~200+ Mpx/s), which
+    BOUNDS the adversarial-decode cost at roughly the single-core
+    reference rate instead of the ~1 us/byte device sequential scan
+    (~2 orders of magnitude cliff, VERDICT r4 item 6). The v1 device
+    fixpoint + lax.scan anchor remain as the no-native-build ladder."""
+    from .. import oracle
+
+    if oracle.available():
+        img, desc = oracle.decode(data, channels)
+        return img, desc
+    return v1.decode(data, channels)

@@ -307,3 +307,41 @@ def test_v3_group_auto_chunks_large_batches():
         got = decode_v3.unpack_px32(np.asarray(px32[i]))[: 40 * 24]
         np.testing.assert_array_equal(
             got.reshape(24, 40, 4), imgs[i % 2])
+
+
+@pytest.mark.slow
+def test_surgical_second_round_large_mixed():
+    """The surgical round 2 (r5) engages only at nbk >= 256 (~2 MB
+    streams): a large alpha-toggling mixed image must converge in
+    exactly 2 rounds through the dirty-block rebuild + entry-delta
+    apply, pixel-identically — the full certificate is the correctness
+    anchor (reference qoi.h:488-587)."""
+    img = testimages.mixed(1280, 960, 4, seed=9)
+    desc = fmt.StreamDesc(1280, 960, 4)
+    s = oracle.encode(img, desc)
+    raw = np.frombuffer(s, np.uint8)[fmt.HEADER_SIZE:]
+    clen = len(s) - fmt.HEADER_SIZE - fmt.TRAILER_SIZE
+    cap = v1.bucket_size_fine(len(raw))
+    padded = np.zeros((cap,), np.uint8)
+    padded[: len(raw)] = raw
+    b = decode_v3._scan_block_len(cap)
+    assert cap // b >= 256, "stream too small to engage the surgical round"
+    out, conv, rounds = decode_v3._decode_device(
+        jnp.asarray(padded), jnp.int32(clen),
+        v1.bucket_size(desc.num_pixels))
+    assert bool(conv) and int(rounds) == 2
+    got = decode_v3.unpack_px32(np.asarray(out))[: desc.num_pixels]
+    np.testing.assert_array_equal(got.reshape(img.shape), img)
+
+
+@pytest.mark.slow
+def test_surgical_overflow_falls_to_full_rounds():
+    """Error sites in more than K=64 blocks must overflow the surgical
+    cap and converge through the unchanged full-round loop (or ladder),
+    still pixel-exact: palette_alpha at a size with nbk >= 256 has
+    INDEX-alpha errors everywhere."""
+    img = testimages.palette_alpha(1280, 960, colors=48, seed=5)
+    desc = fmt.StreamDesc(1280, 960, 4)
+    s = oracle.encode(img, desc)
+    got, _ = decode_v3.decode(s)
+    np.testing.assert_array_equal(got, img)
