@@ -29,6 +29,14 @@ per-chunk mod-256 SWAR deltas scatter into the global pixel-delta plane,
 a reduce-scatter sums them onto each shard's pixel range over ICI, and a
 sharded prefix scan rebuilds the pixel values — the chunk->pixel fan-out
 (a 1-byte RUN covers up to 62 px) never touches the host.
+
+Collective budget (r5 audit, SURVEY §5.8 "one fused collective per
+step"): tokenize+halo ONE all_gather (was gather + ppermute), chunk/
+pixel/alpha scalars ONE (was three), per fixpoint round ONE packed
+table gather + ONE packed (65, 8) summary gather + the psum'd
+certificate (was seven), expansion ONE boundary gather + ONE stacked
+reduce_scatter + ONE totals gather (was five-plus). Everything crossing
+the mesh is packed i32 words.
 """
 from __future__ import annotations
 
@@ -66,7 +74,15 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     trans = fsm._pack_map(lens_b - 1)
     incl = scans.blocked_scan(fsm._compose_maps, trans)  # (Mb,)
     local_map = incl[-1]
-    entry_maps = jax.lax.all_gather(local_map, axis)           # (S,)
+    # fused stage-1 exchange (r5 collective audit): the FSM map AND the
+    # 4-byte left-halo (packed into one word) ride ONE all_gather — the
+    # halo was a separate ppermute before, and both are local facts
+    halo_w = (data[0].astype(jnp.int32) | data[1].astype(jnp.int32) << 8
+              | data[2].astype(jnp.int32) << 16
+              | data[3].astype(jnp.int32) << 24)
+    st1 = jax.lax.all_gather(
+        jnp.stack([local_map, halo_w]), axis)                  # (S, 2)
+    entry_maps = st1[:, 0]
 
     def estep(m, x):  # carry: packed map composed so far
         return fsm._compose_maps(m, x), m
@@ -81,8 +97,10 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     starts = (state_before == 0) & (base_byte + io < chunks_len)
 
     # ---- stage 2: local chunk records (halo covers cross-shard chunks) ---
-    halo = jax.lax.ppermute(
-        data[:4], axis, [(i, i - 1) for i in range(1, s)])
+    halo_in = st1[jnp.minimum(ax + 1, s - 1), 1]  # right neighbour's word
+    halo_in = jnp.where(ax == s - 1, 0, halo_in)
+    halo = jnp.stack([(halo_in >> (8 * k)) & 0xFF
+                      for k in range(4)]).astype(jnp.uint8)
     data_ext = jnp.concatenate([data, halo])
     cid = scans.exclusive_cumsum(starts.astype(jnp.int32))
     slot = jnp.where(starts, cid, mb)
@@ -91,20 +109,18 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
     valid = io < nloc
     f = dp._chunk_fields(data_ext, start_pos, valid)
 
-    nlocs = jax.lax.all_gather(nloc, axis)                   # (S,)
-    gid_base = jnp.sum(jnp.where(jnp.arange(s) < ax, nlocs, 0))
-
-    # global pixel offsets
+    # fused stage-2/3 exchange: chunk count, pixel count and the
+    # last-RGBA alpha carry are independent local scalars — ONE gather
     npix_sum = jnp.sum(f["npix"])
-    npix_sums = jax.lax.all_gather(npix_sum, axis)
-    pix_base = jnp.sum(jnp.where(jnp.arange(s) < ax, npix_sums, 0))
-    pix_off = pix_base + scans.exclusive_cumsum(f["npix"])
-
-    # optimistic alpha: cross-shard last-RGBA carry
     last_rgba_l = scans.cummax(jnp.where(f["is_rgba"], io, -1))
     alpha_fin = jnp.where(last_rgba_l[-1] >= 0,
                           f["b5"][jnp.maximum(last_rgba_l[-1], 0)].astype(jnp.int32), -1)
-    alpha_fins = jax.lax.all_gather(alpha_fin, axis)         # (S,)
+    st2 = jax.lax.all_gather(
+        jnp.stack([nloc, npix_sum, alpha_fin]), axis)        # (S, 3)
+    nlocs, npix_sums, alpha_fins = st2[:, 0], st2[:, 1], st2[:, 2]
+    gid_base = jnp.sum(jnp.where(jnp.arange(s) < ax, nlocs, 0))
+    pix_base = jnp.sum(jnp.where(jnp.arange(s) < ax, npix_sums, 0))
+    pix_off = pix_base + scans.exclusive_cumsum(f["npix"])
 
     def astep(carry, x):
         return jnp.where(x >= 0, x, carry), carry
@@ -158,8 +174,13 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
         gids1 = (gid_base + io + 1).astype(jnp.uint32)
         _, (loc_tbl, loc_wr) = table.table_replay(
             hashes, gids1, write=valid)
-        tbls = jax.lax.all_gather(loc_tbl, axis)
-        wrs = jax.lax.all_gather(loc_wr, axis)
+        # fused per-round table exchange: values + written flags in one
+        # (2, 64) gather (r5 collective audit)
+        tw = jax.lax.all_gather(
+            jnp.stack([loc_tbl.view(jnp.int32),
+                       loc_wr.astype(jnp.int32)]), axis)      # (S, 2, 64)
+        tbls = tw[:, 0].view(jnp.uint32)
+        wrs = tw[:, 1] != 0
 
         def tstep(c, x):
             ct, cw = c
@@ -233,10 +254,18 @@ def _tile_step(data: jnp.ndarray, chunks_len: jnp.ndarray, axis: str):
         sum_base = jnp.concatenate([px_base_v[None], t_base])
         sum_real = sum_root < mb
 
-        roots_g = jax.lax.all_gather(sum_root, axis)          # (S, 65, 4)
-        accs_g = jax.lax.all_gather(sum_acc, axis)
-        bases_g = jax.lax.all_gather(sum_base, axis)
-        reals_g = jax.lax.all_gather(sum_real, axis)
+        # fused summary exchange: acc/base bytes + real flag pack into
+        # one i32 plane next to the root plane -> ONE (65, 8) gather
+        # instead of four (r5 collective audit)
+        acb = (sum_acc.astype(jnp.int32) | sum_base.astype(jnp.int32) << 8
+               | sum_real.astype(jnp.int32) << 16)
+        summ = jax.lax.all_gather(
+            jnp.concatenate([sum_root.astype(jnp.int32), acb], axis=1),
+            axis)                                             # (S, 65, 8)
+        roots_g = summ[:, :, :4]
+        accs_g = (summ[:, :, 4:] & 0xFF).astype(jnp.uint8)
+        bases_g = ((summ[:, :, 4:] >> 8) & 0xFF).astype(jnp.uint8)
+        reals_g = (summ[:, :, 4:] >> 16) != 0
 
         # replicated sequential compose: numeric incoming symbols per shard
         init = jnp.concatenate([
@@ -304,10 +333,14 @@ def _expand_tiled(px, npix, pix_off, nloc, axis: str, n_px_cap: int):
             | px[:, 3].astype(jnp.uint32) << 24)
 
     # incoming pixel: previous shard's last valid chunk px (seed if none)
+    # — has-flag and pixel word fused into ONE gather (r5 audit)
     has = nloc > 0
     last_px = px32[jnp.maximum(nloc - 1, 0)]
-    hass = jax.lax.all_gather(has, axis)
-    lasts = jax.lax.all_gather(last_px, axis)
+    hl = jax.lax.all_gather(
+        jnp.stack([last_px.view(jnp.int32), has.astype(jnp.int32)]),
+        axis)                                                 # (S, 2)
+    hass = hl[:, 1] != 0
+    lasts = hl[:, 0].view(jnp.uint32)
 
     def pstep(carry, x):
         h, v = x
@@ -333,9 +366,11 @@ def _expand_tiled(px, npix, pix_off, nloc, axis: str, n_px_cap: int):
     idx = jnp.where(valid, pix_off, n_px_cap + io)
     plane_lo = jnp.zeros((n_px_cap,), jnp.int32).at[idx].add(dlo, mode="drop")
     plane_hi = jnp.zeros((n_px_cap,), jnp.int32).at[idx].add(dhi, mode="drop")
-    # deltas onto this shard's pixel range, summed over shards via ICI
-    loc_lo = jax.lax.psum_scatter(plane_lo, axis, scatter_dimension=0, tiled=True)
-    loc_hi = jax.lax.psum_scatter(plane_hi, axis, scatter_dimension=0, tiled=True)
+    # deltas onto this shard's pixel range, summed over shards via ICI —
+    # both 16-bit-lane planes in ONE reduce_scatter (r5 audit)
+    loc_lo, loc_hi = jax.lax.psum_scatter(
+        jnp.stack([plane_lo, plane_hi]), axis,
+        scatter_dimension=1, tiled=True)
 
     # sharded inclusive mod-256 prefix (16-bit lanes keep the residues)
     m = jnp.int32(0x00FF00FF)
@@ -346,14 +381,13 @@ def _expand_tiled(px, npix, pix_off, nloc, axis: str, n_px_cap: int):
         return ((la + lb) & m), ((ha + hb) & m)
 
     sl, sh = scans.blocked_scan(comb, (loc_lo & m, loc_hi & m))
-    tot = (sl[-1], sh[-1])
-    tots = jax.lax.all_gather(tot, axis)
+    tots = jax.lax.all_gather(jnp.stack([sl[-1], sh[-1]]), axis)  # (S, 2)
 
     def estep(carry, x):
         return comb(carry, x), carry
 
     _, excls = jax.lax.scan(estep, (jnp.int32(0), jnp.int32(0)),
-                            (tots[0], tots[1]))
+                            (tots[:, 0], tots[:, 1]))
     sl, sh = comb((excls[0][ax], excls[1][ax]), (sl, sh))
 
     # apply the seed and repack to u32 pixels
