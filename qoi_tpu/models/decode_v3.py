@@ -650,26 +650,68 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
         # failure (or > K dirty blocks) the unchanged full-round
         # while_loop below takes over, as before.
         root1, val1, entry1, proot1 = extra1
-        K = min(64, nbk)
+        W, WB = 8, 8                      # 8 windows x 8 blocks = 64
+        K = W * WB
         dirty = mis_b | jnp.concatenate(
             [jnp.zeros((1,), bool), mis_b[:-1]])
-        n_dirty = jnp.sum(dirty.astype(jnp.int32))
-        idx_sorted = jnp.sort(
-            jnp.where(dirty, jnp.arange(nbk, dtype=jnp.int32), nbk))
-        idxs = idx_sorted[:K]            # unclamped: scatters drop >= nbk
-        idc = jnp.minimum(idxs, nbk - 1)  # clamped: gathers read row 0..
+        # greedy cover of the dirty blocks by W contiguous WB-block
+        # windows: single-offset dynamic slices are the one batched
+        # selection primitive this TPU runs at DMA speed — per-row
+        # gathers/scatters of the same volume measured ~20 ms/frame
+        # (PERF_NOTES gather rule; r5 hardware). Windows are disjoint by
+        # construction (the next start is past the previous window).
+        iot = jnp.arange(nbk, dtype=jnp.int32)
+        sj = []
+        prev_end = jnp.int32(-1)
+        for _ in range(W):
+            s = jnp.min(jnp.where(dirty & (iot > prev_end), iot, nbk))
+            sj.append(s)
+            prev_end = s + (WB - 1)
+        sj = jnp.stack(sj)                              # (W,) starts
+        win_ok = sj < nbk
+        # clamp trailing windows left so every slice stays in range; at
+        # most ONE valid window can clamp (the greedy spacing puts any
+        # later start past nbk), so valid windows stay disjoint, and a
+        # clamped last window covers every trailing block
+        scj = jnp.minimum(sj, nbk - WB)
+        covered = jnp.any(
+            win_ok[:, None] & (iot[None, :] >= scj[:, None])
+            & (iot[None, :] < scj[:, None] + WB), axis=0)
+        covered_ok = ~jnp.any(dirty & ~covered)
+        # block ids follow the CLAMPED starts (they name the gathered
+        # rows); invalid windows get out-of-range ids so every scatter
+        # of their garbage rows drops
+        ids = jnp.where(win_ok[:, None],
+                        scj[:, None] + jnp.arange(WB, dtype=jnp.int32),
+                        nbk).reshape(K)
+        idc = jnp.minimum(ids, nbk - 1)
         if entry_px32 is None:
             entry_hash0 = jnp.int32(_SEED_HASH)
         else:
             entry_hash0 = _hash_packed(entry_px32[None])[0]
 
+        def gather_windows(x):
+            """(m,) -> (K, b): W single-offset slices of WB blocks."""
+            return jnp.concatenate([
+                jax.lax.dynamic_slice(x, (scj[j] * b,), (WB * b,))
+                for j in range(W)]).reshape(K, b)
+
+        def patch_windows(flat, rows):
+            """Write (K, b) rows back at their windows; invalid windows
+            re-write what was read (a no-op)."""
+            rw = rows.reshape(W, WB * b)
+            for j in range(W):
+                cur = jax.lax.dynamic_slice(flat, (scj[j] * b,), (WB * b,))
+                new = jnp.where(win_ok[j], rw[j], cur)
+                flat = jax.lax.dynamic_update_slice(flat, new, (scj[j] * b,))
+            return flat
+
         def surgical(state):
             w_prev, px_prev, _, it, _, _ = state
-            gat = lambda x: jnp.take(x.reshape(nbk, b), idc, axis=0)
-            base_g = gat(base_f)          # (K, b) contiguous row gathers
-            d32_g = gat(d32)
-            lit32_g = gat(lit32)
-            px_g = gat(px_prev)
+            base_g = gather_windows(base_f)             # (K, b)
+            d32_g = gather_windows(d32)
+            lit32_g = gather_windows(lit32)
+            px_g = gather_windows(px_prev)
             cls_g = base_g & 7
             r6_g = (base_g >> 9) & 63
             starts_g = cls_g != 0
@@ -680,12 +722,12 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
             w1_g = jnp.where(
                 starts_g,
                 _anchored_w_rows(cls_g, r6_g, d32_g, px_g, seed_h), 0)
-            # narrow pass 1 over the dirty blocks only
+            # narrow pass 1 over the dirty windows only
             meta_g = (base_g.T | (w1_g.T << 3)).astype(jnp.int32)
             root_g, val_g, proot_g, pval_g = _block_maps(
                 meta_g, d32_g.T, lit32_g.T, K, b, emit_px=True)
-            root2 = root1.at[:, idxs].set(root_g, mode="drop")
-            val2 = val1.at[:, idxs].set(val_g, mode="drop")
+            root2 = root1.at[:, ids].set(root_g, mode="drop")
+            val2 = val1.at[:, ids].set(val_g, mode="drop")
             entry2, exit2 = _compose_entry_states(
                 root2, val2, nbk, entry65, return_exit=True)
             # clean blocks: exact delta apply; dirty blocks: fresh apply
@@ -694,10 +736,8 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
                                     delta)
             px_d = _apply_symbolic(proot_g, pval_g,
                                    jnp.take(entry2, idc, axis=1))
-            px2 = px2_p.T.reshape(nbk, b).at[idxs, :].set(
-                px_d.T, mode="drop").reshape(m)
-            w2 = w_prev.reshape(nbk, b).at[idxs, :].set(
-                jnp.where(starts_g, w1_g, 0), mode="drop").reshape(m)
+            px2 = patch_windows(px2_p.T.reshape(m), px_d.T)
+            w2 = patch_windows(w_prev, jnp.where(starts_g, w1_g, 0))
             # the full certificate is the correctness anchor
             true_w = jnp.where(starts, _hash_packed(px2), 0)
             bad = jnp.sum((true_w != w2).astype(jnp.int32))
@@ -705,7 +745,7 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
 
         def cond_s(state):
             _, _, conv, it, bad, _ = state
-            return (~conv & (it == 1) & (bad > 0) & (n_dirty <= K))
+            return (~conv & (it == 1) & (bad > 0) & covered_ok)
 
         state = jax.lax.while_loop(cond_s, surgical, state)
 

@@ -36,17 +36,21 @@ def _tile_step(px4, n_valid, contains_last, carry: pipeline.EncoderCarry):
     return buf, total, chunks.carry
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("t",))
-def _enc_tile_at(out_buf, px_all, cursor, off_px, n_total, carry, t: int):
-    """One device-driven encode tile: slice t pixels at off_px from the
-    device-resident image, encode with the incoming carry, and write the
-    tile's bytes into the big output buffer at the device byte cursor.
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _enc_tile(out_buf, px4, cursor, off_px, n_total, carry):
+    """One device-driven encode tile: encode the (t, 4) tile with the
+    incoming carry and write the tile's bytes into the big output buffer
+    at the device byte cursor.
 
-    The write is the full (6t,) staging capacity: bytes past the tile's
-    `total` are garbage that the NEXT tile's write overwrites (its cursor
-    advances by exactly `total`), and the final fetch stops at the last
-    cursor — so no host sync is ever needed between tiles."""
-    px4 = jax.lax.dynamic_slice(px_all, (off_px, 0), (t, 4))
+    The tile arrives as its OWN device array (uploaded by the
+    double-buffering producer thread — r5, VERDICT item 7 — so the H2D
+    transfer of tile k+1 overlaps tile k's program instead of one
+    monolithic blocking upload). The write is the full (6t,) staging
+    capacity: bytes past the tile's `total` are garbage that the NEXT
+    tile's write overwrites (its cursor advances by exactly `total`),
+    and the final fetch stops at the last cursor — so no host sync is
+    ever needed between tiles."""
+    t = px4.shape[0]
     n_valid = jnp.clip(n_total - off_px, 0, t)
     contains_last = n_total <= off_px + t
     ch = pipeline.encode_stage_chunks(
@@ -90,8 +94,29 @@ def encode(pixels: np.ndarray, desc: fmt.StreamDesc,
     t = min(tile_px, pipeline.bucket_size(n))
     n_tiles = -(-n // t)
 
-    pad = np.zeros((n_tiles * t - n, 4), np.uint8)
-    px_all = jax.device_put(jnp.asarray(np.concatenate([px4, pad])))
+    # double-buffered H2D (r5): a producer thread uploads tile k+1/k+2
+    # while tile k's program runs — on the tunneled link the upload
+    # dominates wall time (ENVELOPE400.md), and a monolithic device_put
+    # serialized the whole transfer before the first tile could start.
+    # The queue bound keeps at most ~3 tiles of pixels in flight.
+    import queue as _queue
+    import threading
+
+    upq: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def _producer():
+        for k in range(n_tiles):
+            piece = px4[k * t: (k + 1) * t]
+            if piece.shape[0] < t:
+                piece = np.concatenate(
+                    [piece, np.zeros((t - piece.shape[0], 4), np.uint8)])
+            arr = jax.device_put(jnp.asarray(piece))
+            # block the PRODUCER until the transfer lands: overlap comes
+            # from this thread, not from assuming device_put is async
+            jax.block_until_ready(arr)
+            upq.put(arr)
+
+    threading.Thread(target=_producer, daemon=True).start()
     # output capacity: the TRUE stream worst case is 5 B/px (chunks
     # partition the pixels, each covers >= 1 px and is <= 5 bytes — a
     # run-flush byte is its own RUN chunk covering the run's pixels, so
@@ -109,9 +134,9 @@ def encode(pixels: np.ndarray, desc: fmt.StreamDesc,
     carry = pipeline.EncoderCarry.seed()
     cursor = jnp.int32(0)
     for k in range(n_tiles):
-        out_buf, cursor, carry = _enc_tile_at(
-            out_buf, px_all, cursor, jnp.int32(k * t), jnp.int32(n),
-            carry, t)
+        px_t = upq.get()
+        out_buf, cursor, carry = _enc_tile(
+            out_buf, px_t, cursor, jnp.int32(k * t), jnp.int32(n), carry)
     total = int(jax.device_get(cursor))  # the ONE sync
     return fmt.pack_header(desc) + _fetch_bytes(out_buf, total) + fmt.TRAILER
 
