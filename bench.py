@@ -66,14 +66,18 @@ def main() -> None:
 
     # ONE fused program per frame (stages + word-sum compaction: the
     # sort/gather/kernel-free placement primitive, ops/compact.py),
-    # frames dispatched BATCH-deep and synced with ONE combined fetch —
+    # frames dispatched 2*BATCH-deep and synced with ONE combined fetch —
     # the ~24-45 ms "per-program floor" is almost entirely D2H fetch
     # round-trip, so per-frame device_get costs ~8x one combined fetch
-    # (hardware r3, PERF_NOTES.md). Same program on CPU smoke runs.
+    # (hardware r3, PERF_NOTES.md), and a 16-deep dispatch halves the
+    # floor's share vs 8 (~13% of an 8-frame batch). Same program on
+    # CPU smoke runs.
     combine = jax.jit(lambda ts: jnp.stack(ts))
+    ENC_DISPATCH = 2  # 16 programs per rep over the 8 unique frames
 
     def encode_frames():
-        outs = [pipeline.encode_device_wordsum(x, jnp.int32(n)) for x in xs]
+        outs = [pipeline.encode_device_wordsum(x, jnp.int32(n))
+                for x in xs * ENC_DISPATCH]
         # the combined totals array is the ONE thing a rep fetches
         return outs, combine([t for _, t in outs])
 
@@ -88,7 +92,7 @@ def main() -> None:
         from qoi_tpu import oracle
 
         if oracle.available():
-            for i, (buf_i, _) in enumerate(outs):
+            for i, (buf_i, _) in enumerate(outs[:BATCH]):
                 # u32 little-endian word output: the byte view is free
                 raw = np.asarray(jax.device_get(buf_i)).view(np.uint8)
                 stream_i = (
@@ -112,9 +116,10 @@ def main() -> None:
     # return before device completion on this platform)
     dt = profiling.device_sync_time(
         lambda: encode_frames()[1], reps=REPS)
-    enc_mpxs = (BATCH * n / 1e6) / dt
-    enc_sol = profiling.encode_sol_model(BATCH * n, 4)
-    log(f"encode {BATCH}x4K RGBA: {dt * 1e3:.2f} ms/batch, {enc_mpxs:.1f} "
+    enc_frames_n = BATCH * ENC_DISPATCH
+    enc_mpxs = (enc_frames_n * n / 1e6) / dt
+    enc_sol = profiling.encode_sol_model(enc_frames_n * n, 4)
+    log(f"encode {enc_frames_n}x4K RGBA: {dt * 1e3:.2f} ms/batch, {enc_mpxs:.1f} "
         f"Mpx/s, {totals_host[0] / 1024:.0f} KiB/stream "
         f"({100 * totals_host[0] / (n * 4):.1f}%), "
         f"SOL fraction {enc_mpxs / enc_sol['sol_mpps']:.3f}")
