@@ -346,52 +346,19 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
             jnp.int32, (1, nsub), 1)
         cnt_b = jnp.sum((rowfirst <= bases).astype(jnp.int32),
                         axis=0, keepdims=True)       # (1, nsub)
-        if dyn or exact:
+        if dyn:
             cnt_e = jnp.sum((rowfirst <= bases + (sub - 1)).astype(jnp.int32),
                             axis=0, keepdims=True)   # (1, nsub)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1)
-        if exact and not noop:
-            # per-TILE max landing span: rows past ce (first offset >
-            # subtile end) can never match, so when EVERY subtile of the
-            # tile lands within `short_span` rows the whole tile runs
-            # the short accumulate — ONE scalar branch per grid step
-            # (the per-SUBTILE adaptive form is a measured negative:
-            # scalar work at 64.8k subtiles/frame cost more than the
-            # rows it skipped; 8.1k per-tile branches are ~free, and
-            # ~74% of photo/mixed subtiles land in <= 4 rows)
-            rlo_t = jnp.clip(cnt_b - 2, 0, wrows - span)
-            span_max = jnp.max(cnt_e - rlo_t)
 
-        if exact and not noop and not fuse:
-            short = min(4, span)
-
-            def run_subtiles(nrows: int):
-                for s in range(nsub):
-                    base_s = base_t + s * sub
-                    cb = jnp.sum(jnp.where(lane == s, cnt_b, 0))
-                    p_col = base_s + jax.lax.broadcasted_iota(
-                        jnp.int32, (sub, 1), 0)
-                    r_lo = jnp.clip(cb - 2, 0, wrows - span)
-                    g8 = jnp.clip(r_lo >> 3, 0, (wrows - lwin) // 8) * 8
-                    o = r_lo - g8                 # in [0, lwin - span]
-                    sh = (lwin - o) % lwin        # nonneg spelling of -o
-                    fpo = pltpu.roll(wpo[pl.ds(g8, lwin), :], sh, 0)
-                    fd = pltpu.roll(wd[pl.ds(g8, lwin), :], sh, 0)
-                    acc = jnp.zeros((sub, _WROW), jnp.int32)
-                    for r in range(nrows):
-                        acc = acc + jnp.where(fpo[r:r + 1, :] == p_col,
-                                              fd[r:r + 1, :], 0)
-                    out_ref[s, :] = jnp.sum(acc, axis=1)
-
-            @pl.when(span_max <= short)
-            def _short():
-                run_subtiles(short)
-
-            @pl.when(span_max > short)
-            def _full():
-                run_subtiles(span)
-            return
-
+        # (r5 closed NEGATIVE results, both adaptive-span forms: the
+        # per-SUBTILE fori tail cost +4.2 ms/frame (64.8k scalar loop
+        # entries), and the per-TILE pl.when branch pair (short 4-row vs
+        # full 8-row subtile loops, one scalar branch per grid step)
+        # cost +2.0 ms/frame on photo — control flow around the subtile
+        # bodies breaks Mosaic's grid-step pipelining, the same failure
+        # mode as the fused-cumsum carry (accum="xwf"). The static
+        # worst-case span stays.)
         for s in range(nsub):
             base_s = base_t + s * sub
             cb = jnp.sum(jnp.where(lane == s, cnt_b, 0))

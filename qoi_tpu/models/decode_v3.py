@@ -479,6 +479,15 @@ _SCAN_B_MAX = 8192
 #: not bookkeeping-bound; bigger bodies schedule worse. Keep 1.
 _P1_UNROLL = 1
 
+#: surgical second round (r5): narrow dirty-window rebuild + exact
+#: entry-delta apply between the peeled round 1 and the full-round
+#: loop. A batched (vmapped) decode only profits when EVERY lane is
+#: surgically fixable — one dense-error lane (e.g. bench mixed seed 5:
+#: 4380 bad positions / 119 windows) drags the whole batch through the
+#: full round anyway, making the surgical pure overhead there. abperf
+#: sweeps this flag ("nosurg" entries).
+_SURGICAL = True
+
 #: expand-kernel geometry (kernels/expand.py): output pixels per grid
 #: step / pixels per subtile row. Standalone the kernel is accumulate-
 #: bound (tile 1024 == 2048 within noise, PERF_NOTES), but under a
@@ -631,7 +640,7 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     # narrow (>= 4x fewer lanes than a full pass 1); tiny streams go
     # straight to the full-round loop (mini-scale hardware check: at
     # nbk = 32 the "surgical" round cost ~2x a full round)
-    if apply == "vector" and max_rounds > 1 and nbk >= 256:
+    if apply == "vector" and max_rounds > 1 and nbk >= 256 and _SURGICAL:
         # ---- surgical round 2 (round-5 design) --------------------------
         # The full second round costs as much as the first (~21 ms/frame
         # at 4K), but its genuine new information is tiny: round-1

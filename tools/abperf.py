@@ -623,6 +623,49 @@ def cmd_decode(unique_streams: int = 8, content: str = "photo"):
         accum="xw", max_rounds=1))
     bench("b16 r1 xw", lambda d, c: f16r1(d, c), dup(db, 2), dup(dc, 2))
 
+    # surgical-round kill switch: the full-round-loop-only cost of the
+    # current build (isolates the surgical round's in-context price on
+    # batches where some lane is not surgically fixable)
+    if _selected("b16 nosurg"):
+        v3._SURGICAL = False
+        jax.clear_caches()
+        fns = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="xw"))
+        bench("b16 nosurg", lambda d, c: fns(d, c), dup(db, 2), dup(dc, 2))
+        v3._SURGICAL = True
+        jax.clear_caches()
+
+    # straight-line two-round ablation (r5: the while_loop tax hunt):
+    # round 1 + anchored rebuild + round 2 + cert + expand with NO
+    # while_loop — on 2-round content the difference vs "b16 nosurg"
+    # is pure loop-structure cost (carry materialization, masked-lane
+    # updates, fusion barriers). WRONG pixels for 1-round content.
+    if _selected("b16 sl2"):
+        def sl2_one(d, c):
+            m = d.shape[0]
+            b = v3._scan_block_len(m)
+            starts, cls, r6, d32, lit32, npix = v3._fields(d, c)
+            from qoi_tpu.ops import scans as _sc
+            w0i, pix_off = v3._initial_w(cls, r6, d32, lit32, None,
+                                         npix=npix)
+            w0 = jnp.where(starts, w0i, 0)
+            base_p = v3._pos_major(
+                (cls | (r6 << 9)).astype(jnp.int32), m, b)
+            d32_p = v3._pos_major(d32, m, b)
+            lit32_p = v3._pos_major(lit32, m, b)
+            px1, _, _ = v3._resolve_p(base_p, d32_p, lit32_p, w0, m, b)
+            w1 = jnp.where(starts, v3._anchored_w(cls, r6, d32, px1), 0)
+            px2, _, _ = v3._resolve_p(base_p, d32_p, lit32_p, w1, m, b)
+            true_w = jnp.where(starts, v3._hash_packed(px2), 0)
+            bad = jnp.sum((true_w != w1).astype(jnp.int32))
+            out = v3._expand_packed(starts, px2, pix_off, npc,
+                                    use_kernel=not _MINI)
+            return out, bad == 0, jnp.int32(2)
+
+        fsl = jax.jit(lambda d, c: jax.vmap(sl2_one)(d, c))
+        bench("b16 sl2", lambda d, c: fsl(d, c), dup(db, 2), dup(dc, 2))
+
     # fused in-kernel cumsum (accum="xwf"): the global
     # jnp.cumsum(landed) + seed folds into the expand grid via an SMEM
     # carry + per-subtile Hillis-Steele lane prefix — kills the batched
