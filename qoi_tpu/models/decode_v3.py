@@ -572,12 +572,15 @@ def _swar_sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
                  max_rounds: int = _MAX_ROUNDS, entry65=None,
-                 apply: str = "vector"):
+                 apply: str = "vector", surgical: bool = True):
     """Full chunk-level decode to per-byte px values + bookkeeping.
     Returns (px32 (M,) u32, starts, npix, pix_off, converged, rounds,
     exit65). `entry65` ((65,) packed u32 incoming state, default seed)
     supports streamed/tiled chaining; exit65 is the matching outgoing
-    state (valid only when converged)."""
+    state (valid only when converged). `surgical` enables the narrow
+    second round — leave OFF for vmapped batches (one dense-error lane
+    drags the whole batch through the full round anyway, making the
+    surgical pure overhead there; hardware r5)."""
     m = data.shape[0]
     b = _scan_block_len(m)
     nbk = m // b
@@ -612,8 +615,13 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
         mis_b = jnp.any(mis.reshape(nbk, b), axis=1)
         return px, exit65, bad, extra, mis_b
 
+    # loop state is SLIM (r5: the batched while_loop costs real HBM per
+    # carried plane — masked-lane selects touch every carry each
+    # iteration; the straight-line ablation put the whole loop tax at
+    # ~6 ms/frame): px is the one big carry, w is NOT carried (the body
+    # rebuilds it from px and nothing downstream reads it)
     def body(state):
-        _, px_prev, _, it, prev_bad, _ = state
+        px_prev, _, it, prev_bad, _ = state
         # next estimate: re-anchored in the previous round's px, NOT
         # true_w = hash(px) — hash(px) wholesale re-corrupts every
         # estimate downstream of the first wrong write, advancing the
@@ -622,10 +630,10 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
         w = jnp.where(starts, _anchored_w(cls, r6, d32, px_prev,
                                           entry_px32), 0)
         px, exit65, bad = round_(w, prev_bad)
-        return (w, px, bad == 0, it + 1, bad, exit65)
+        return (px, bad == 0, it + 1, bad, exit65)
 
     def cond(state):
-        _, _, conv, it, bad, _ = state
+        _, conv, it, bad, _ = state
         return ~conv & (it < max_rounds) & (bad != -1)
 
     # round 1 is peeled so the anchored rebuild (a full blocked scan)
@@ -634,13 +642,14 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     # exact initial estimate and never pays it
     px1, exit1, bad1, extra1, mis_b = round_(
         w0, jnp.int32(0x7FFFFFFF), with_extra=True)
-    state = (w0, px1, bad1 == 0, jnp.int32(1), bad1, exit1)
+    state = (px1, bad1 == 0, jnp.int32(1), bad1, exit1)
 
     # the surgical round only pays when the K-block rebuild is genuinely
     # narrow (>= 4x fewer lanes than a full pass 1); tiny streams go
     # straight to the full-round loop (mini-scale hardware check: at
     # nbk = 32 the "surgical" round cost ~2x a full round)
-    if apply == "vector" and max_rounds > 1 and nbk >= 256 and _SURGICAL:
+    if (apply == "vector" and max_rounds > 1 and nbk >= 256
+            and surgical and _SURGICAL):
         # ---- surgical round 2 (round-5 design) --------------------------
         # The full second round costs as much as the first (~21 ms/frame
         # at 4K), but its genuine new information is tiny: round-1
@@ -716,7 +725,8 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
             return flat
 
         def surgical(state):
-            w_prev, px_prev, _, it, _, _ = state
+            px_prev, _, it, _, _ = state
+            w_prev = w0  # the surgical runs only at it == 1
             base_g = gather_windows(base_f)             # (K, b)
             d32_g = gather_windows(d32)
             lit32_g = gather_windows(lit32)
@@ -750,16 +760,15 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
             # the full certificate is the correctness anchor
             true_w = jnp.where(starts, _hash_packed(px2), 0)
             bad = jnp.sum((true_w != w2).astype(jnp.int32))
-            return (w2, px2, bad == 0, it + 1, bad, exit2)
+            return (px2, bad == 0, it + 1, bad, exit2)
 
         def cond_s(state):
-            _, _, conv, it, bad, _ = state
+            _, conv, it, bad, _ = state
             return (~conv & (it == 1) & (bad > 0) & covered_ok)
 
         state = jax.lax.while_loop(cond_s, surgical, state)
 
-    w, px, conv, rounds, _, exit65 = jax.lax.while_loop(
-        cond, body, state)
+    px, conv, rounds, _, exit65 = jax.lax.while_loop(cond, body, state)
     return px, starts, npix, pix_off, conv, rounds, exit65
 
 
@@ -864,27 +873,30 @@ def _use_kernel_default() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply"))
+    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply",
+    "surgical"))
 def _decode_device(data, chunks_len, n_px_cap: int,
                    max_rounds: int = _MAX_ROUNDS, use_kernel: bool = False,
                    accum: str = "xw", dense: bool = False,
-                   apply: str = "vector"):
+                   apply: str = "vector", surgical: bool = True):
     px, starts, npix, pix_off, conv, rounds, _ = _decode_core(
-        data, chunks_len, max_rounds, apply=apply)
+        data, chunks_len, max_rounds, apply=apply, surgical=surgical)
     out = _expand_packed(starts, px, pix_off, n_px_cap, use_kernel, accum,
                          dense=dense)
     return out, conv, rounds
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply"))
+    "n_px_cap", "max_rounds", "use_kernel", "accum", "dense", "apply",
+    "surgical"))
 def _decode_device_batch(data, chunks_len, n_px_cap: int,
                          max_rounds: int = _MAX_ROUNDS,
                          use_kernel: bool = False, accum: str = "xw",
-                         dense: bool = False, apply: str = "vector"):
+                         dense: bool = False, apply: str = "vector",
+                         surgical: bool = False):
     return jax.vmap(
         lambda d, c: _decode_device(d, c, n_px_cap, max_rounds, use_kernel,
-                                    accum, dense, apply)
+                                    accum, dense, apply, surgical)
     )(data, chunks_len)
 
 
@@ -909,7 +921,8 @@ def _decode_device_batch_chunked(data, chunks_len, n_px_cap: int,
     out, conv, rounds = jax.lax.map(
         lambda dc: jax.vmap(
             lambda x, y: _decode_device(x, y, n_px_cap, max_rounds,
-                                        use_kernel, accum))(dc[0], dc[1]),
+                                        use_kernel, accum,
+                                        surgical=False))(dc[0], dc[1]),
         (d, c))
     return (out.reshape(b, -1), conv.reshape(b), rounds.reshape(b))
 
