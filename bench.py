@@ -116,6 +116,10 @@ def main() -> None:
     # return before device completion on this platform)
     dt = profiling.device_sync_time(
         lambda: encode_frames()[1], reps=REPS)
+    # free the verification dispatch's 16 output buffers (~800 MB):
+    # they are otherwise still referenced when the b32 decode batch —
+    # which runs near the HBM roof — compiles (r5: ResourceExhausted)
+    del outs, tcomb
     enc_frames_n = BATCH * ENC_DISPATCH
     enc_mpxs = (enc_frames_n * n / 1e6) / dt
     enc_sol = profiling.encode_sol_model(enc_frames_n * n, 4)

@@ -589,16 +589,36 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     w0i, pix_off = _initial_w(cls, r6, d32, lit32, entry_px32, npix=npix)
     w0 = jnp.where(starts, w0i, 0)
 
-    # loop-invariant position-major planes, transposed ONCE (each round
-    # re-transposing them cost ~3 x 58 MB of HBM round-trips at 4K)
+    # the surgical round engages only under all of these (the narrow
+    # rebuild needs real narrowing; batches leave it off — see flag doc)
+    use_surgical = (apply == "vector" and max_rounds > 1 and nbk >= 256
+                    and surgical and _SURGICAL)
+
     base_f = (cls | (r6 << 9)).astype(jnp.int32)
-    base_p = _pos_major(base_f, m, b)
-    d32_p = _pos_major(d32, m, b)
-    lit32_p = _pos_major(lit32, m, b)
+    if use_surgical:
+        # loop-invariant position-major planes, transposed ONCE (each
+        # round re-transposing them costs ~3 x 58 MB of HBM round-trips
+        # at 4K — and the surgical body reads them anyway). NOT hoisted
+        # for batched decodes: planes alive across the loop cost ~175
+        # MB/lane, which pushed the b32 chunked16 program over the HBM
+        # roof (r5 ResourceExhausted) — worth it only when the surgical
+        # needs them resident.
+        base_p = _pos_major(base_f, m, b)
+        d32_p = _pos_major(d32, m, b)
+        lit32_p = _pos_major(lit32, m, b)
+
+        def resolve_fn(w):
+            return _resolve_p(base_p, d32_p, lit32_p, w, m, b,
+                              entry65, apply)
+    else:
+        def resolve_fn(w):
+            return _resolve_p(_pos_major(base_f, m, b),
+                              _pos_major(d32, m, b),
+                              _pos_major(lit32, m, b), w, m, b,
+                              entry65, apply)
 
     def round_(w, prev_bad, with_extra=False):
-        px, exit65, extra = _resolve_p(base_p, d32_p, lit32_p, w, m, b,
-                                       entry65, apply)
+        px, exit65, extra = resolve_fn(w)
         # certificate: self-consistency w == hash(px(w)) forces exactness
         # (the consistent prefix is unique by induction on positions)
         true_w = jnp.where(starts, _hash_packed(px), 0)
@@ -648,8 +668,7 @@ def _decode_core(data: jnp.ndarray, chunks_len: jnp.ndarray,
     # narrow (>= 4x fewer lanes than a full pass 1); tiny streams go
     # straight to the full-round loop (mini-scale hardware check: at
     # nbk = 32 the "surgical" round cost ~2x a full round)
-    if (apply == "vector" and max_rounds > 1 and nbk >= 256
-            and surgical and _SURGICAL):
+    if use_surgical:
         # ---- surgical round 2 (round-5 design) --------------------------
         # The full second round costs as much as the first (~21 ms/frame
         # at 4K), but its genuine new information is tiny: round-1
@@ -943,7 +962,10 @@ def decode_group(data: jnp.ndarray, chunks_len: jnp.ndarray, n_px_cap: int,
     ONE program that lax.maps vmapped sub-batches: a flat vmap of 16 4K
     streams already nears the HBM roof, while the chunked form bounds
     peak memory at `sub_batch` lanes and still pays the per-program
-    floor once (hardware: b32 chunked16 ~ +1.5% over b16 flat)."""
+    floor once (hardware: b32 chunked16 ~ +1.5% over b16 flat, and
+    chunked8 measured ~5% WORSE than chunked16 — batched decodes keep
+    transient transposes precisely so 16 lanes fit; see the
+    use_surgical hoist note in _decode_core)."""
     if use_kernel is None:
         use_kernel = _use_kernel_default()
     b = data.shape[0]
