@@ -73,7 +73,9 @@ def main() -> None:
     # floor's share vs 8 (~13% of an 8-frame batch). Same program on
     # CPU smoke runs.
     combine = jax.jit(lambda ts: jnp.stack(ts))
-    ENC_DISPATCH = 2  # 16 programs per rep over the 8 unique frames
+    # depth sweep (r5 hardware): 8/16/24/32-deep = 360/385/394/400 Mpx/s
+    # — the ~25 ms fetch-RTT floor amortizes; 32 is the knee
+    ENC_DISPATCH = 4  # 32 programs per rep over the 8 unique frames
 
     def encode_frames():
         outs = [pipeline.encode_device_wordsum(x, jnp.int32(n))
@@ -116,7 +118,7 @@ def main() -> None:
     # return before device completion on this platform)
     dt = profiling.device_sync_time(
         lambda: encode_frames()[1], reps=REPS)
-    # free the verification dispatch's 16 output buffers (~800 MB):
+    # free the verification dispatch's 32 output buffers (~1.6 GB):
     # they are otherwise still referenced when the b32 decode batch —
     # which runs near the HBM roof — compiles (r5: ResourceExhausted)
     del outs, tcomb
