@@ -274,7 +274,7 @@ def _wspan_sub(sub: int) -> int:
 def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                       dense: bool = False, nblocks: int = 2,
                       noop: bool = False, exact: bool = False,
-                      fuse: bool = False):
+                      fuse: bool = False, pair: bool = False):
     """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
 
     The narrow layout's (sub, 64) compare/select/add values pad their
@@ -323,12 +323,20 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
     def kernel(qb_ref, *refs):
         if fuse:
             seed_ref, *refs = refs       # second scalar-prefetch operand
-        po_refs = refs[:nblocks]
-        d_refs = refs[nblocks:2 * nblocks]
-        if fuse:
-            out_ref, wpo, wd, carry = refs[2 * nblocks:]
+        if pair:
+            # paired layout (r5): po and d rows of each DMA block ride
+            # in ONE (2*blk, 128) block — half the DMA issues per grid
+            # step (the per-step overhead, not bandwidth, is the cost)
+            pair_refs = refs[:nblocks]
+            rest = refs[nblocks:]
         else:
-            out_ref, wpo, wd = refs[2 * nblocks:]
+            po_refs = refs[:nblocks]
+            d_refs = refs[nblocks:2 * nblocks]
+            rest = refs[2 * nblocks:]
+        if fuse:
+            out_ref, wpo, wd, carry = rest
+        else:
+            out_ref, wpo, wd = rest
         t = pl.program_id(0)
         if fuse:
             # batch axis (vmap) is OUTSIDE the tile axis, so every
@@ -338,8 +346,12 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                 carry[0] = seed_ref[0]
         base_t = t * tile
         for j in range(nblocks):
-            wpo[j * blk:(j + 1) * blk, :] = po_refs[j][...]
-            wd[j * blk:(j + 1) * blk, :] = d_refs[j][...]
+            if pair:
+                wpo[j * blk:(j + 1) * blk, :] = pair_refs[j][0:blk, :]
+                wd[j * blk:(j + 1) * blk, :] = pair_refs[j][blk:2 * blk, :]
+            else:
+                wpo[j * blk:(j + 1) * blk, :] = po_refs[j][...]
+                wd[j * blk:(j + 1) * blk, :] = d_refs[j][...]
         rowfirst = wpo[:, 0:1]                       # (wrows, 1) nondecr.
 
         bases = base_t + sub * jax.lax.broadcasted_iota(
@@ -451,7 +463,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                     tile: int, sub: int, seed32, dyn: bool,
                     dense: bool = False, nblocks: int = 2,
                     noop: bool = False, exact: bool = False,
-                    fuse: bool = False):
+                    fuse: bool = False, pair: bool = False):
     """Wide-layout driver for expand_px (accum in {"wide", "dyn", "xw"})."""
     if nblocks == 2:
         blk = _wbrows_dense(tile) if dense else _wbrows(tile)
@@ -486,23 +498,35 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     r0 = jnp.searchsorted(rowfirst, qs, method="sort").astype(jnp.int32)
     qb = jnp.maximum(r0 - 1, 0) >> bshift
 
+    brows_spec = 2 * blk if pair else blk
     if fuse:
         def mk_spec(j):
-            return pl.BlockSpec((blk, _WROW),
+            return pl.BlockSpec((brows_spec, _WROW),
                                 lambda t, q, sd, j=j: (q[t] + j, 0))
         out_spec = pl.BlockSpec((tile // sub, sub), lambda t, q, sd: (t, 0))
         n_pref, pref = 2, (qb, seed[None])
     else:
         def mk_spec(j):
-            return pl.BlockSpec((blk, _WROW),
+            return pl.BlockSpec((brows_spec, _WROW),
                                 lambda t, q, j=j: (q[t] + j, 0))
         out_spec = pl.BlockSpec((tile // sub, sub), lambda t, q: (t, 0))
         n_pref, pref = 1, (qb,)
 
+    if pair:
+        # paired operand: [poB_k; dB_k] alternating per blk-row block —
+        # one (2*blk, 128) DMA block carries both planes of a window
+        # block, halving per-step DMA issues
+        inter = jnp.stack([po_r.reshape(nfull, blk, _WROW),
+                           d_r.reshape(nfull, blk, _WROW)],
+                          axis=1).reshape(2 * rows_pad, _WROW)
+        operands = [inter] * nblocks
+    else:
+        operands = [po_r] * nblocks + [d_r] * nblocks
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_pref,
         grid=(t_out,),
-        in_specs=[mk_spec(j) for j in range(nblocks)] * 2,
+        in_specs=[mk_spec(j) for j in range(nblocks)] * (1 if pair else 2),
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((nblocks * blk, _WROW), jnp.int32),
                         pltpu.VMEM((nblocks * blk, _WROW), jnp.int32)]
@@ -510,12 +534,12 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     )
     landed = pl.pallas_call(
         _make_wide_kernel(tile, sub, dyn, dense, nblocks, noop, exact,
-                          fuse),
+                          fuse, pair),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
         interpret=interpret,
-    )(*pref, *([po_r] * nblocks), *([d_r] * nblocks))
+    )(*pref, *operands)
     landed = landed.reshape(-1)[:n_px_cap]
     if fuse:  # kernel already emitted prefix sums + seed
         return landed.view(jnp.uint32)
@@ -525,11 +549,19 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     return (jnp.cumsum(landed) + seed).view(jnp.uint32)
 
 
+#: paired po|d DMA blocks (r5 experiment): ONE (2*blk, 128) block per
+#: window block instead of separate po and d blocks — halves per-step
+#: DMA issues. abperf flips this ("b16 pair" decode entry).
+_PAIR_DMA = False
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "n_px_cap", "interpret", "tile", "sub", "accum", "dense", "nblocks"))
+    "n_px_cap", "interpret", "tile", "sub", "accum", "dense", "nblocks",
+    "pair"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
               tile: int = _TILE, sub: int = _SUB, seed32=None,
-              accum: str = "xw", dense: bool = False, nblocks: int = 2):
+              accum: str = "xw", dense: bool = False, nblocks: int = 2,
+              pair: bool | None = None):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
@@ -545,7 +577,8 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
                                dense=dense, nblocks=nblocks,
                                noop=accum == "wnoop",
                                exact=accum in ("xw", "xwf"),
-                               fuse=accum == "xwf")
+                               fuse=accum == "xwf",
+                               pair=_PAIR_DMA if pair is None else pair)
     assert not dense, "dense geometry is wide-layout only"
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows

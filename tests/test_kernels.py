@@ -115,6 +115,24 @@ def test_expand_kernel_matches_xla(m, cap, seed, accum):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("m,cap,seed", [
+    (600, 512, 0), (6000, 4096, 1), (70000, 65536, 3)])
+def test_expand_kernel_paired_dma_matches_xla(m, cap, seed):
+    """The paired po|d block layout (r5: one (2*blk, 128) DMA block per
+    window block) must be bit-identical to the split-plane form."""
+    import jax.numpy as jnp
+
+    from qoi_tpu.kernels import expand
+
+    pix_off, px = _synth_records(m, seed)
+    got = np.asarray(expand.expand_px(
+        jnp.asarray(pix_off), jnp.asarray(px), cap, interpret=True,
+        accum="xw", pair=True))
+    want = np.asarray(expand.expand_px_xla(
+        jnp.asarray(pix_off), jnp.asarray(px), cap))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_expand_kernel_fused_cumsum_vmap_resets_carry():
     """accum="xwf" keeps its running prefix in SMEM scratch across grid
     steps; under vmap the batch axis is the OUTERMOST grid dim, so the

@@ -689,6 +689,20 @@ def cmd_decode(unique_streams: int = 8, content: str = "photo"):
     v3._EXPAND_TILE, v3._EXPAND_NBLOCKS = 1024, 2
     jax.clear_caches()
 
+    # paired po|d DMA blocks: one (2*blk, 128) block per window block
+    # halves per-step DMA issues (the expand grid's ~5 ms/frame is
+    # per-step overhead, not bandwidth)
+    if _selected("b16 pair"):
+        from qoi_tpu.kernels import expand as kexp
+        kexp._PAIR_DMA = True
+        jax.clear_caches()
+        fpr = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="xw"))
+        bench("b16 pair", lambda d, c: fpr(d, c), dup(db, 2), dup(dc, 2))
+        kexp._PAIR_DMA = False
+        jax.clear_caches()
+
     # pass-3 structure: "scan" = the original numeric re-scan (r3
     # production), "vector" (the new default, in f16w above) = pass-1
     # symbolic px entries + one fused SWAR application of the pass-2
