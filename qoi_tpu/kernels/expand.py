@@ -274,7 +274,8 @@ def _wspan_sub(sub: int) -> int:
 def _make_wide_kernel(tile: int, sub: int, dyn: bool,
                       dense: bool = False, nblocks: int = 2,
                       noop: bool = False, exact: bool = False,
-                      fuse: bool = False, pair: bool = False):
+                      fuse: bool = False, pair: bool = False,
+                      panch: bool = False):
     """Wide-layout kernel: po and d in SEPARATE (rows, 128) planes.
 
     The narrow layout's (sub, 64) compare/select/add values pad their
@@ -320,7 +321,12 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
     lwin = -(-(span + 7) // 8) * 8  # rotate window: span + max offset 7
     assert lwin <= wrows
 
+    assert not (panch and (dyn or fuse or noop)), \
+        "prefetched anchors serve the plain exact path only"
+
     def kernel(qb_ref, *refs):
+        if panch:
+            r0p_ref, *refs = refs        # packed per-subtile window rows
         if fuse:
             seed_ref, *refs = refs       # second scalar-prefetch operand
         if pair:
@@ -352,16 +358,18 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
             else:
                 wpo[j * blk:(j + 1) * blk, :] = po_refs[j][...]
                 wd[j * blk:(j + 1) * blk, :] = d_refs[j][...]
-        rowfirst = wpo[:, 0:1]                       # (wrows, 1) nondecr.
+        if not panch:
+            rowfirst = wpo[:, 0:1]                   # (wrows, 1) nondecr.
 
-        bases = base_t + sub * jax.lax.broadcasted_iota(
-            jnp.int32, (1, nsub), 1)
-        cnt_b = jnp.sum((rowfirst <= bases).astype(jnp.int32),
-                        axis=0, keepdims=True)       # (1, nsub)
-        if dyn:
-            cnt_e = jnp.sum((rowfirst <= bases + (sub - 1)).astype(jnp.int32),
+            bases = base_t + sub * jax.lax.broadcasted_iota(
+                jnp.int32, (1, nsub), 1)
+            cnt_b = jnp.sum((rowfirst <= bases).astype(jnp.int32),
                             axis=0, keepdims=True)   # (1, nsub)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1)
+            if dyn:
+                cnt_e = jnp.sum(
+                    (rowfirst <= bases + (sub - 1)).astype(jnp.int32),
+                    axis=0, keepdims=True)           # (1, nsub)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1)
 
         # (r5 closed NEGATIVE results, both adaptive-span forms: the
         # per-SUBTILE fori tail cost +4.2 ms/frame (64.8k scalar loop
@@ -373,9 +381,25 @@ def _make_wide_kernel(tile: int, sub: int, dyn: bool,
         # worst-case span stays.)
         for s in range(nsub):
             base_s = base_t + s * sub
-            cb = jnp.sum(jnp.where(lane == s, cnt_b, 0))
             p_col = base_s + jax.lax.broadcasted_iota(
                 jnp.int32, (sub, 1), 0)
+            if panch:
+                # packed 4x8-bit prefetched window row: word/shift are
+                # static per s (nsub % 4 == 0), only t is traced
+                word = r0p_ref[t * (nsub // 4) + s // 4]
+                r_lo = (word >> (8 * (s % 4))) & 0xFF
+                g8 = jnp.clip(r_lo >> 3, 0, (wrows - lwin) // 8) * 8
+                o = r_lo - g8                 # in [0, lwin - span]
+                sh = (lwin - o) % lwin        # nonneg spelling of -o
+                fpo = pltpu.roll(wpo[pl.ds(g8, lwin), :], sh, 0)
+                fd = pltpu.roll(wd[pl.ds(g8, lwin), :], sh, 0)
+                acc = jnp.zeros((sub, _WROW), jnp.int32)
+                for r in range(span):
+                    acc = acc + jnp.where(fpo[r:r + 1, :] == p_col,
+                                          fd[r:r + 1, :], 0)
+                out_ref[s, :] = jnp.sum(acc, axis=1)
+                continue
+            cb = jnp.sum(jnp.where(lane == s, cnt_b, 0))
 
             if noop:
                 # ABLATION ONLY (wrong results): grid + DMA + anchors +
@@ -463,7 +487,8 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                     tile: int, sub: int, seed32, dyn: bool,
                     dense: bool = False, nblocks: int = 2,
                     noop: bool = False, exact: bool = False,
-                    fuse: bool = False, pair: bool = False):
+                    fuse: bool = False, pair: bool = False,
+                    panch: bool = False):
     """Wide-layout driver for expand_px (accum in {"wide", "dyn", "xw"})."""
     if nblocks == 2:
         blk = _wbrows_dense(tile) if dense else _wbrows(tile)
@@ -498,6 +523,24 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     r0 = jnp.searchsorted(rowfirst, qs, method="sort").astype(jnp.int32)
     qb = jnp.maximum(r0 - 1, 0) >> bshift
 
+    panch = panch and exact and not (dyn or fuse or noop)
+    nsub = tile // sub
+    if panch:
+        assert nsub % 4 == 0
+        # per-subtile window rows, packed 4x8-bit (r_lo <= wrows - span
+        # = 24 < 256): one searchsorted over the SAME row-first offsets
+        # the kernel compared in-register, relative to each tile's
+        # scratch window
+        bases_all = jnp.arange(t_out * nsub, dtype=jnp.int32) * sub
+        cb_abs = jnp.searchsorted(rowfirst, bases_all, side="right",
+                                  method="sort").astype(jnp.int32)
+        wrows = nblocks * blk
+        span_k = (-(-sub // _WROW) + 2) if dense else _wspan_sub(sub)
+        cb_rel = jnp.clip(cb_abs - jnp.repeat(qb, nsub) * blk, 0, wrows)
+        r_lo = jnp.clip(cb_rel - 2, 0, wrows - span_k)
+        r4 = r_lo.reshape(-1, 4)
+        r0p = (r4[:, 0] | r4[:, 1] << 8 | r4[:, 2] << 16 | r4[:, 3] << 24)
+
     brows_spec = 2 * blk if pair else blk
     if fuse:
         def mk_spec(j):
@@ -505,6 +548,12 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                                 lambda t, q, sd, j=j: (q[t] + j, 0))
         out_spec = pl.BlockSpec((tile // sub, sub), lambda t, q, sd: (t, 0))
         n_pref, pref = 2, (qb, seed[None])
+    elif panch:
+        def mk_spec(j):
+            return pl.BlockSpec((brows_spec, _WROW),
+                                lambda t, q, rp, j=j: (q[t] + j, 0))
+        out_spec = pl.BlockSpec((tile // sub, sub), lambda t, q, rp: (t, 0))
+        n_pref, pref = 2, (qb, r0p)
     else:
         def mk_spec(j):
             return pl.BlockSpec((brows_spec, _WROW),
@@ -534,7 +583,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
     )
     landed = pl.pallas_call(
         _make_wide_kernel(tile, sub, dyn, dense, nblocks, noop, exact,
-                          fuse, pair),
+                          fuse, pair, panch),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (t_out * (tile // sub), sub), jnp.int32),
@@ -554,14 +603,23 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
 #: DMA issues. abperf flips this ("b16 pair" decode entry).
 _PAIR_DMA = False
 
+#: prefetched per-subtile window anchors (r5 experiment): the exact-path
+#: kernel derives each subtile's window row from a broadcast compare +
+#: a narrow per-subtile reduction (~64.8k scalar extractions/frame);
+#: this precomputes r_lo for EVERY subtile XLA-side (one searchsorted
+#: over row-first offsets) and ships it as a packed 4x8-bit
+#: scalar-prefetch table (t_out*nsub/4 words, SMEM) the kernel reads at
+#: ~2 cycles. abperf flips this ("b16 panch" decode entry).
+_PREF_ANCHORS = False
+
 
 @functools.partial(jax.jit, static_argnames=(
     "n_px_cap", "interpret", "tile", "sub", "accum", "dense", "nblocks",
-    "pair"))
+    "pair", "panch"))
 def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
               tile: int = _TILE, sub: int = _SUB, seed32=None,
               accum: str = "xw", dense: bool = False, nblocks: int = 2,
-              pair: bool | None = None):
+              pair: bool | None = None, panch: bool | None = None):
     """Per-pixel packed-u32 plane from per-byte decode results.
 
     pix_off: (M,) i32 nondecreasing pixel offset of the chunk at/after
@@ -578,7 +636,9 @@ def expand_px(pix_off, px32, n_px_cap: int, interpret: bool = False,
                                noop=accum == "wnoop",
                                exact=accum in ("xw", "xwf"),
                                fuse=accum == "xwf",
-                               pair=_PAIR_DMA if pair is None else pair)
+                               pair=_PAIR_DMA if pair is None else pair,
+                               panch=(_PREF_ANCHORS if panch is None
+                                      else panch))
     assert not dense, "dense geometry is wide-layout only"
     brows = _brows(tile)  # block pair covers the tile's landing bytes
     assert tile % sub == 0 and _frows(sub) <= 2 * brows

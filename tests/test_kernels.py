@@ -115,11 +115,13 @@ def test_expand_kernel_matches_xla(m, cap, seed, accum):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("variant", ["pair", "panch"])
 @pytest.mark.parametrize("m,cap,seed", [
     (600, 512, 0), (6000, 4096, 1), (70000, 65536, 3)])
-def test_expand_kernel_paired_dma_matches_xla(m, cap, seed):
-    """The paired po|d block layout (r5: one (2*blk, 128) DMA block per
-    window block) must be bit-identical to the split-plane form."""
+def test_expand_kernel_variants_match_xla(m, cap, seed, variant):
+    """r5 kernel options must be bit-identical to the XLA oracle:
+    `pair` = one (2*blk, 128) DMA block carrying both planes per window
+    block; `panch` = packed prefetched per-subtile window anchors."""
     import jax.numpy as jnp
 
     from qoi_tpu.kernels import expand
@@ -127,7 +129,7 @@ def test_expand_kernel_paired_dma_matches_xla(m, cap, seed):
     pix_off, px = _synth_records(m, seed)
     got = np.asarray(expand.expand_px(
         jnp.asarray(pix_off), jnp.asarray(px), cap, interpret=True,
-        accum="xw", pair=True))
+        accum="xw", **{variant: True}))
     want = np.asarray(expand.expand_px_xla(
         jnp.asarray(pix_off), jnp.asarray(px), cap))
     np.testing.assert_array_equal(got, want)

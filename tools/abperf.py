@@ -703,6 +703,20 @@ def cmd_decode(unique_streams: int = 8, content: str = "photo"):
         kexp._PAIR_DMA = False
         jax.clear_caches()
 
+    # prefetched per-subtile window anchors: one XLA-side searchsorted
+    # replaces the kernel's broadcast compare + ~64.8k narrow scalar
+    # extractions per frame; packed 4x8-bit SMEM table
+    if _selected("b16 panch"):
+        from qoi_tpu.kernels import expand as kexpa
+        kexpa._PREF_ANCHORS = True
+        jax.clear_caches()
+        fpa = jax.jit(functools.partial(
+            v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
+            accum="xw"))
+        bench("b16 panch", lambda d, c: fpa(d, c), dup(db, 2), dup(dc, 2))
+        kexpa._PREF_ANCHORS = False
+        jax.clear_caches()
+
     # pass-3 structure: "scan" = the original numeric re-scan (r3
     # production), "vector" (the new default, in f16w above) = pass-1
     # symbolic px entries + one fused SWAR application of the pass-2
