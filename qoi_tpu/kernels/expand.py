@@ -603,14 +603,15 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
 #: DMA issues. abperf flips this ("b16 pair" decode entry).
 _PAIR_DMA = False
 
-#: prefetched per-subtile window anchors (r5 experiment): the exact-path
-#: kernel derives each subtile's window row from a broadcast compare +
-#: a narrow per-subtile reduction (~64.8k scalar extractions/frame);
-#: this precomputes r_lo for EVERY subtile XLA-side (one searchsorted
-#: over row-first offsets) and ships it as a packed 4x8-bit
-#: scalar-prefetch table (t_out*nsub/4 words, SMEM) the kernel reads at
-#: ~2 cycles. abperf flips this ("b16 panch" decode entry).
-_PREF_ANCHORS = False
+#: prefetched per-subtile window anchors (r5): the exact-path kernel
+#: used to derive each subtile's window row from a broadcast compare +
+#: a narrow per-subtile reduction (~64.8k scalar extractions/frame —
+#: measured 4.2 ms/frame!); r_lo for EVERY subtile is now precomputed
+#: XLA-side (one searchsorted over row-first offsets) and shipped as a
+#: packed 4x8-bit scalar-prefetch table (t_out*nsub/4 words, SMEM) the
+#: kernel reads at ~2 cycles. Hardware b16 photo: 31.0 vs 35.2
+#: ms/frame — PRODUCTION DEFAULT. abperf sweeps it ("b16 panch").
+_PREF_ANCHORS = True
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -708,13 +708,15 @@ def cmd_decode(unique_streams: int = 8, content: str = "photo"):
     # extractions per frame; packed 4x8-bit SMEM table
     if _selected("b16 panch"):
         from qoi_tpu.kernels import expand as kexpa
-        kexpa._PREF_ANCHORS = True
+        old_panch = kexpa._PREF_ANCHORS
+        kexpa._PREF_ANCHORS = not old_panch  # sweep the NON-default form
         jax.clear_caches()
         fpa = jax.jit(functools.partial(
             v3._decode_device_batch, n_px_cap=npc, use_kernel=not _MINI,
             accum="xw"))
-        bench("b16 panch", lambda d, c: fpa(d, c), dup(db, 2), dup(dc, 2))
-        kexpa._PREF_ANCHORS = False
+        bench(f"b16 panch={not old_panch}", lambda d, c: fpa(d, c),
+              dup(db, 2), dup(dc, 2))
+        kexpa._PREF_ANCHORS = old_panch
         jax.clear_caches()
 
     # pass-3 structure: "scan" = the original numeric re-scan (r3
