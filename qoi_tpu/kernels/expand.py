@@ -536,6 +536,7 @@ def _expand_px_wide(pix_off, px32, n_px_cap: int, interpret: bool,
                                   method="sort").astype(jnp.int32)
         wrows = nblocks * blk
         span_k = (-(-sub // _WROW) + 2) if dense else _wspan_sub(sub)
+        assert wrows - span_k <= 255, "packed 8-bit anchors cap wrows"
         cb_rel = jnp.clip(cb_abs - jnp.repeat(qb, nsub) * blk, 0, wrows)
         r_lo = jnp.clip(cb_rel - 2, 0, wrows - span_k)
         r4 = r_lo.reshape(-1, 4)

@@ -489,19 +489,18 @@ _P1_UNROLL = 1
 _SURGICAL = True
 
 #: expand-kernel geometry (kernels/expand.py): output pixels per grid
-#: step / pixels per subtile row. Standalone the kernel is accumulate-
-#: bound (tile 1024 == 2048 within noise, PERF_NOTES), but under a
-#: vmapped batch every lane's tiles become separate grid steps, so the
-#: per-step overhead share grows with the batch — abperf sweeps these
-#: the same way as _SCAN_B_MAX (set + jax.clear_caches()).
-_EXPAND_TILE = 1024
+#: step / pixels per subtile row. The r2-r4 closures pinned 1024/nb2
+#: because the in-kernel per-subtile anchor work scaled with the
+#: scratch window rows; with PREFETCHED anchors (r5, _PREF_ANCHORS)
+#: that cost is gone and bigger tiles win on pure step count: hardware
+#: b16 photo 31.0 (1024/nb2) / 30.5 (2048/nb2) / 30.8 (2048/nb4) /
+#: 30.4 (4096/nb4); sub=256 still loses to register spill (38.8).
+_EXPAND_TILE = 4096
 _EXPAND_SUB = 128
-#: DMA blocks per expand grid step (kernels/expand._wblk): 4 x 16-row
-#: blocks cover the same worst-case landing span as the r2 2 x 64-row
-#: shape with HALF the HBM traffic and scratch per step. Hardware r4:
-#: NEUTRAL in-context (42.6 vs 42.8 ms/frame) — the batched expand is
-#: not DMA-bound; 2 stays as the proven shape.
-_EXPAND_NBLOCKS = 2
+#: DMA blocks per expand grid step (kernels/expand._wblk). At tile
+#: 4096, 4 x 64-row blocks keep the scratch window at 256 rows — the
+#: packed 8-bit prefetched anchors' ceiling (r_lo <= 248 < 256).
+_EXPAND_NBLOCKS = 4
 
 
 def _scan_block_len(m: int) -> int:
