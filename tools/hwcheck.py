@@ -104,7 +104,8 @@ def main() -> int:
         fails += not ok
     # xw's rotate-window edges: max-sparsity 62-runs (anchor rows far
     # apart, offset o swings across the full [0, 8] range) and 5 B/px
-    # density (span rows all live)
+    # density (span rows all live) — at BOTH the kernel-default and the
+    # production decode geometry (t4096/nb4 + prefetched anchors, r5)
     for nm, (pp, mr) in {"sparse62": (62, 62), "dense1px": (1, 1)}.items():
         per = rng.integers(1, mr + 1, size=m).astype(np.int32)
         if pp == 62:
@@ -114,11 +115,14 @@ def main() -> int:
             np.uint32)
         ref2 = np.asarray(jax.device_get(kexpand.expand_px_xla(
             jnp.asarray(po2), jnp.asarray(px2), p_cap)))
-        got2 = np.asarray(jax.device_get(kexpand.expand_px(
-            jnp.asarray(po2), jnp.asarray(px2), p_cap, accum="xw")))
-        ok = np.array_equal(got2, ref2)
-        log(f"expand xw/{nm}: {'OK' if ok else 'MISMATCH'}")
-        fails += not ok
+        for gname, kw in (("t1024", {}),
+                          ("t4096nb4", {"tile": 4096, "nblocks": 4})):
+            got2 = np.asarray(jax.device_get(kexpand.expand_px(
+                jnp.asarray(po2), jnp.asarray(px2), p_cap, accum="xw",
+                **kw)))
+            ok = np.array_equal(got2, ref2)
+            log(f"expand xw/{nm}/{gname}: {'OK' if ok else 'MISMATCH'}")
+            fails += not ok
 
     # end-to-end splitd encode vs the oracle
     w, h = 512, 384
